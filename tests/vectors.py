@@ -1,0 +1,98 @@
+"""Test-vector synthesis: complete IAMF streams built with the framework's
+own muxer (iamf_tpu.tools.builder), decodable by the reference iamfplayer.
+
+The reference repo ships no corpus (SURVEY.md §4); these generated vectors +
+reference-decoded goldens are the conformance harness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+from iamf_tpu.constants import ChannelLayout, ElementType, ParameterType
+from iamf_tpu.tools import builder
+
+
+def sine_pcm(n: int, channels: int, rate: int = 48000, amp: float = 0.5,
+             freqs=None, bits: int = 16, seed: int = 0) -> np.ndarray:
+    """Deterministic multitone int PCM [n, channels]."""
+    if freqs is None:
+        freqs = [220.0 * (k + 1) for k in range(channels)]
+    t = np.arange(n) / rate
+    rng = np.random.RandomState(seed)
+    out = np.zeros((n, channels))
+    for c in range(channels):
+        phase = rng.uniform(0, 2 * np.pi)
+        out[:, c] = amp * np.sin(2 * np.pi * freqs[c] * t + phase)
+        out[:, c] += 0.1 * amp * np.sin(2 * np.pi * 3.1 * freqs[c] * t)
+    scale = 2.0 ** (bits - 1) - 1
+    return np.round(out * scale).astype(np.int64)
+
+
+def build_pcm_stereo_stream(
+    n_frames: int = 24,
+    frame_size: int = 960,
+    sample_size: int = 16,
+    rate: int = 48000,
+    mix_gain_q78: int = 0,
+) -> tuple[bytes, np.ndarray]:
+    """Simple-profile stereo ipcm stream -> (stream bytes, source [n,2] int)."""
+    total = n_frames * frame_size
+    pcm = sine_pcm(total, 2, rate, bits=sample_size)
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    out += builder.codec_config_obu(
+        1, b"ipcm", frame_size, 0, builder.pcm_decoder_conf(sample_size, rate)
+    )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=[0],
+        layers=[builder.LayerSpec(ChannelLayout.STEREO, 1, 1)],
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1,
+                mix_gain_param=builder.ParamDefinition(id=100),
+                default_mix_gain_q78=mix_gain_q78,
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=0)],
+    )
+    for f in range(n_frames):
+        frame = pcm[f * frame_size : (f + 1) * frame_size]
+        out += builder.audio_frame_obu(
+            0, builder.pack_pcm_frame(frame, sample_size)
+        )
+    return bytes(out), pcm
+
+
+def decode_with_reference(
+    player: str, stream: bytes, workdir: str, sound_system: str = "0",
+    extra_args: tuple = (), name: str = "vec",
+) -> str:
+    """Run the reference iamfplayer on a stream; returns output wav path."""
+    path = os.path.join(workdir, f"{name}.iamf")
+    with open(path, "wb") as f:
+        f.write(stream)
+    cmd = [player, "-o2", f"-s{sound_system}", *extra_args, f"{name}.iamf"]
+    res = subprocess.run(
+        cmd, cwd=workdir, capture_output=True, text=True, timeout=300
+    )
+    if sound_system == "b":
+        wav = os.path.join(workdir, f"binaural_{name}.wav")
+    else:
+        wav = os.path.join(workdir, f"ss{sound_system}_{name}.wav")
+    if not os.path.exists(wav):
+        raise RuntimeError(
+            f"reference player produced no wav: {res.stdout}\n{res.stderr}"
+        )
+    return wav
