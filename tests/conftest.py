@@ -7,12 +7,18 @@ logic, SURVEY.md §4d).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment may force a TPU platform via sitecustomize (JAX_PLATFORMS
+# is pre-set before conftest runs); override through jax.config, which wins
+# as long as no backend has been used yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

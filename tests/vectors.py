@@ -75,6 +75,101 @@ def build_pcm_stereo_stream(
     return bytes(out), pcm
 
 
+def _layer_substreams(layout: int) -> tuple[int, int]:
+    """(nb_substreams, nb_coupled) for a single-layer channel config."""
+    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
+
+    n = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
+    if n == 1:
+        return 1, 0
+    if n == 2:
+        return 1, 1
+    coupled = (n - 2) // 2
+    return coupled + 2, coupled
+
+
+def build_pcm_layout_stream(
+    layout: int,
+    n_frames: int = 8,
+    frame_size: int = 960,
+    sample_size: int = 16,
+    rate: int = 48000,
+    amp: float = 0.5,
+    demix_mode: int = 0,
+    seed: int = 1,
+) -> tuple[bytes, np.ndarray]:
+    """Single-layer channel-based ipcm stream for any IA layout.
+
+    Returns (stream, source PCM [n, nch] in codec channel order).
+    """
+    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
+
+    nch = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
+    nsub, ncoupled = _layer_substreams(layout)
+    total = n_frames * frame_size
+    pcm = sine_pcm(total, nch, rate, amp=amp, bits=sample_size, seed=seed)
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    out += builder.codec_config_obu(
+        1, b"ipcm", frame_size, 0, builder.pcm_decoder_conf(sample_size, rate)
+    )
+    demix = None
+    if nch > 2:
+        demix = builder.ParamDefinition(
+            id=998, rate=rate, mode=0, duration=frame_size,
+            constant_segment_interval=frame_size,
+        )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=list(range(nsub)),
+        layers=[builder.LayerSpec(layout, nsub, ncoupled)],
+        demix_param=demix,
+        default_demix_mode=demix_mode,
+        default_demix_w=0,
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=0),
+                 builder.LayoutSpec(sound_system=1)],
+    )
+    for f in range(n_frames):
+        frame = pcm[f * frame_size : (f + 1) * frame_size]
+        ch = 0
+        for s in range(ncoupled):
+            out += builder.audio_frame_obu(
+                s, builder.pack_pcm_frame(frame[:, ch : ch + 2], sample_size)
+            )
+            ch += 2
+        for s in range(ncoupled, nsub):
+            out += builder.audio_frame_obu(
+                s, builder.pack_pcm_frame(frame[:, ch : ch + 1], sample_size)
+            )
+            ch += 1
+    return bytes(out), pcm
+
+
+def build_pcm_51_stream(n_frames: int = 8, amp: float = 0.5, **kw):
+    from iamf_tpu.constants import ChannelLayout
+
+    return build_pcm_layout_stream(
+        ChannelLayout.L510, n_frames=n_frames, amp=amp, **kw
+    )
+
+
+def build_pcm_mono_stream(n_frames: int = 8, **kw):
+    from iamf_tpu.constants import ChannelLayout
+
+    return build_pcm_layout_stream(ChannelLayout.MONO, n_frames=n_frames, **kw)
+
+
 def decode_with_reference(
     player: str, stream: bytes, workdir: str, sound_system: str = "0",
     extra_args: tuple = (), name: str = "vec",
