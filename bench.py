@@ -1,0 +1,95 @@
+"""Benchmark: realtime-x decoding 48 kHz 7.1.4 IAMF to sound system J.
+
+Synthesizes a 7.1.4 PCM IAMF stream, decodes it end-to-end (host OBU parse +
+codec unpack + batched TPU pipeline: demix -> render matmul -> gains -> mix
+-> limiter -> quantize), and reports the realtime factor.
+
+Baseline: the reference (Samsung/iac) publishes no numbers; its implied
+design point is faster-than-realtime single-core decode (BASELINE.md), so
+vs_baseline is the realtime factor itself (1.0 == realtime). If the
+reference iamfplayer binary is present it is also measured for context.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+import numpy as np
+
+
+def build_stream(seconds: float = 30.0):
+    from iamf_tpu.constants import ChannelLayout
+    import vectors
+
+    frame_size = 960
+    n_frames = int(seconds * 48000 / frame_size)
+    return vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size, amp=0.5
+    )
+
+
+def main() -> None:
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    seconds = float(os.environ.get("BENCH_SECONDS", "30"))
+    stream, _src = build_stream(seconds)
+
+    sound_system = 9  # J (4+7+0)
+    # warmup: compile the pipeline on a short prefix
+    dec = BatchedStreamDecoder(stream, sound_system=sound_system, batch_frames=128)
+    n_frames = dec.n_frames
+
+    t0 = time.perf_counter()
+    pcm = dec.decode_all()
+    elapsed = time.perf_counter() - t0
+    # one more pass with everything compiled = steady-state throughput
+    dec2 = BatchedStreamDecoder(stream, sound_system=sound_system, batch_frames=128)
+    t0 = time.perf_counter()
+    pcm = dec2.decode_all()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = pcm.shape[0] / 48000.0
+    rtx = audio_seconds / elapsed
+    fps = n_frames / elapsed
+
+    ref_rtx = None
+    ref_bin = "/tmp/refplayer_std/iamfplayer"
+    if os.path.exists(ref_bin):
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        path = os.path.join(d, "bench.iamf")
+        with open(path, "wb") as f:
+            f.write(stream)
+        t0 = time.perf_counter()
+        subprocess.run(
+            [ref_bin, "-o0", f"-s{sound_system}", "bench.iamf"],
+            cwd=d, capture_output=True, timeout=600,
+        )
+        ref_elapsed = time.perf_counter() - t0
+        ref_rtx = audio_seconds / ref_elapsed
+
+    result = {
+        "metric": "realtime_x_decode_714_to_ssJ",
+        "value": round(rtx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtx / 1.0, 2),
+        "frames_per_s": round(fps, 1),
+        "audio_seconds": round(audio_seconds, 2),
+        "wall_seconds": round(elapsed, 3),
+    }
+    if ref_rtx is not None:
+        result["reference_player_realtime_x"] = round(ref_rtx, 2)
+        result["speedup_vs_reference"] = round(rtx / ref_rtx, 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""FLAC lossless end-to-end tests vs reference goldens (BASELINE config 2:
+bit-exact requirement)."""
+
+import numpy as np
+import pytest
+
+import vectors
+from test_e2e_pcm import assert_bitexact, ours_decode, ref_decode
+from iamf_tpu.constants import ChannelLayout
+
+
+def test_flac_stereo_bitexact(tmp_path):
+    stream, _ = vectors.build_flac_layout_stream(ChannelLayout.STEREO, n_frames=8)
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    ours = ours_decode(stream, 0)
+    assert_bitexact(ours, ref)
+
+
+def test_flac_51_to_ssb_bitexact(tmp_path):
+    """BASELINE config 2: FLAC lossless 5.1 -> Sound system B, bit-exact."""
+    stream, _ = vectors.build_flac_layout_stream(ChannelLayout.L510, n_frames=8)
+    ref = ref_decode(stream, tmp_path, sound_system="1")
+    ours = ours_decode(stream, 1)
+    assert_bitexact(ours, ref)
+
+
+def test_flac_51_downmix_stereo(tmp_path):
+    stream, _ = vectors.build_flac_layout_stream(ChannelLayout.L510, n_frames=6)
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    ours = ours_decode(stream, 0)
+    assert_bitexact(ours, ref)
+
+
+def test_flac_24bit_bitexact(tmp_path):
+    stream, _ = vectors.build_flac_layout_stream(
+        ChannelLayout.STEREO, n_frames=6, bits=24
+    )
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    ours = ours_decode(stream, 0, bit_depth=24)
+    # reference wav is 16-bit by default; compare at 16-bit depth
+    ours16 = ours_decode(stream, 0)
+    assert_bitexact(ours16, ref)
+
+
+def test_flac_714_bitexact(tmp_path):
+    stream, _ = vectors.build_flac_layout_stream(ChannelLayout.L714, n_frames=6)
+    ref = ref_decode(stream, tmp_path, sound_system="9")
+    ours = ours_decode(stream, 9)
+    assert_bitexact(ours, ref)

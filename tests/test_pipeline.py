@@ -1,0 +1,67 @@
+"""Batched pipeline + SPMD sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import vectors
+from iamf_tpu.constants import ChannelLayout
+from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+
+def test_batched_matches_frame_serial(tmp_path):
+    """The fused batched pipeline must match the reference-parity per-frame
+    API decoder output."""
+    from test_e2e_pcm import ours_decode
+
+    stream, _ = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=12, amp=0.5
+    )
+    serial = ours_decode(stream, 9)  # sound system J
+    batched = BatchedStreamDecoder(stream, sound_system=9, batch_frames=5)
+    out = batched.decode_all()
+    n = min(len(serial), len(out))
+    assert n > 0
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() == 0, f"batched differs: max {diff.max()}"
+
+
+def test_batched_downmix_path():
+    from test_e2e_pcm import ours_decode
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=10)
+    serial = ours_decode(stream, 0)
+    out = BatchedStreamDecoder(stream, sound_system=0, batch_frames=4).decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    # flattened downmix matrix vs recursive evaluation: <=1 ULP
+    assert diff.max() <= 1
+
+
+def test_graft_entry_compiles():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    fn, (carry, batch) = g.entry()
+    carry2, pcm = fn(carry, batch)
+    assert pcm.shape == (8, 960, 12)
+    assert str(pcm.dtype) == "int16"
+
+
+def test_dryrun_multichip_8():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_4():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)

@@ -170,6 +170,77 @@ def build_pcm_mono_stream(n_frames: int = 8, **kw):
     return build_pcm_layout_stream(ChannelLayout.MONO, n_frames=n_frames, **kw)
 
 
+def build_flac_layout_stream(
+    layout: int,
+    n_frames: int = 8,
+    frame_size: int = 1024,
+    bits: int = 16,
+    rate: int = 48000,
+    amp: float = 0.5,
+    demix_mode: int = 0,
+    seed: int = 2,
+) -> tuple[bytes, np.ndarray]:
+    """Single-layer channel-based FLAC stream (config 2 class).
+
+    Substreams encoded with the prebuilt libFLAC encoder (tests/flacenc.py).
+    """
+    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
+    from flacenc import encode_flac_stream
+
+    nch = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
+    nsub, ncoupled = _layer_substreams(layout)
+    total = n_frames * frame_size
+    pcm = sine_pcm(total, nch, rate, amp=amp, bits=bits, seed=seed)
+
+    metas = []
+    frame_lists = []
+    ch = 0
+    for s in range(nsub):
+        want = 2 if s < ncoupled else 1
+        meta, frames = encode_flac_stream(
+            pcm[:, ch : ch + want], bits=bits, rate=rate, block_size=frame_size
+        )
+        metas.append(meta)
+        frame_lists.append(frames)
+        ch += want
+    assert all(len(f) == n_frames for f in frame_lists)
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    # decoder_conf: metadata blocks of substream 0 (channel count per stream
+    # is patched by the decoder; reference uses stream 0's STREAMINFO)
+    out += builder.codec_config_obu(1, b"fLaC", frame_size, 0, metas[0])
+    demix = None
+    if nch > 2:
+        demix = builder.ParamDefinition(
+            id=998, rate=rate, mode=0, duration=frame_size,
+            constant_segment_interval=frame_size,
+        )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=list(range(nsub)),
+        layers=[builder.LayerSpec(layout, nsub, ncoupled)],
+        demix_param=demix,
+        default_demix_mode=demix_mode,
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=0),
+                 builder.LayoutSpec(sound_system=1)],
+    )
+    for f in range(n_frames):
+        for s in range(nsub):
+            out += builder.audio_frame_obu(s, frame_lists[s][f])
+    return bytes(out), pcm
+
+
 def decode_with_reference(
     player: str, stream: bytes, workdir: str, sound_system: str = "0",
     extra_args: tuple = (), name: str = "vec",
