@@ -23,6 +23,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
+# persistent compilation cache: the limiter scan compile is expensive on the
+# first run; subsequent bench runs reuse it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/iamf_tpu_jax_cache")
+try:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def build_stream(seconds: float = 30.0):
     from iamf_tpu.constants import ChannelLayout
@@ -42,18 +56,22 @@ def main() -> None:
     stream, _src = build_stream(seconds)
 
     sound_system = 9  # J (4+7+0)
-    # warmup: compile the pipeline on a short prefix
+    # warmup: compile the pipeline + first device readback
     dec = BatchedStreamDecoder(stream, sound_system=sound_system, batch_frames=128)
     n_frames = dec.n_frames
+    dec.decode_all()
 
-    t0 = time.perf_counter()
-    pcm = dec.decode_all()
-    elapsed = time.perf_counter() - t0
-    # one more pass with everything compiled = steady-state throughput
-    dec2 = BatchedStreamDecoder(stream, sound_system=sound_system, batch_frames=128)
-    t0 = time.perf_counter()
-    pcm = dec2.decode_all()
-    elapsed = time.perf_counter() - t0
+    # steady state: best of 3 full decodes (fresh decoder each time, i.e.
+    # including host OBU routing + codec unpack, excluding stream synthesis)
+    times = []
+    for _ in range(3):
+        d = BatchedStreamDecoder(
+            stream, sound_system=sound_system, batch_frames=128
+        )
+        t0 = time.perf_counter()
+        pcm = d.decode_all()
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
 
     audio_seconds = pcm.shape[0] / 48000.0
     rtx = audio_seconds / elapsed

@@ -17,6 +17,16 @@ from ..constants import Codec
 from .base import CodecDecoder, register
 
 
+def _unpack_native(buf: bytes, sample_size: int, little_endian: bool) -> np.ndarray:
+    """Raw PCM bytes -> narrowest native int array (no float conversion)."""
+    if sample_size == 16:
+        dt = "<i2" if little_endian else ">i2"
+        return np.ascontiguousarray(np.frombuffer(buf, dtype=dt)).astype(
+            np.int16, copy=False
+        )
+    return _unpack(buf, sample_size, little_endian)
+
+
 def _unpack(buf: bytes, sample_size: int, little_endian: bool) -> np.ndarray:
     """Raw PCM bytes -> int32 sample vector."""
     if sample_size == 16:
@@ -47,6 +57,34 @@ class PCMDecoder(CodecDecoder):
         self.sample_rate = int.from_bytes(decoder_conf[2:6], "big")
         self.little_endian = self.flags != 0
         self.scale = np.float32(2.0 ** (self.sample_size - 1))
+
+    def decode_batch_raw(
+        self, packets_per_substream: Sequence[Sequence[bytes]], frame_size: int
+    ) -> tuple[np.ndarray, float]:
+        """Vectorized whole-stream unpack to INTEGER samples.
+
+        Returns ([n_frames, channels, frame_size] int16/int32, input_scale);
+        the float conversion (x * input_scale) runs on the device, fused into
+        the pipeline — raw integers halve host->device transfer volume.
+        """
+        n_frames = min(len(p) for p in packets_per_substream)
+        parts = []
+        for i in range(self.streams):
+            blob = b"".join(packets_per_substream[i][:n_frames])
+            v = _unpack_native(blob, self.sample_size, self.little_endian)
+            if i < self.coupled_streams:
+                v = v.reshape(n_frames, frame_size, 2).transpose(0, 2, 1)
+            else:
+                v = v.reshape(n_frames, 1, frame_size)
+            parts.append(v)
+        x = np.concatenate(parts, axis=1)
+        return x, float(1.0 / self.scale)
+
+    def decode_batch(self, packets_per_substream: Sequence[Sequence[bytes]],
+                     frame_size: int) -> np.ndarray:
+        """Float whole-stream unpack -> [n_frames, channels, frame_size]."""
+        x, scale = self.decode_batch_raw(packets_per_substream, frame_size)
+        return x.astype(np.float32) * np.float32(scale)
 
     def decode(self, packets: Sequence[Optional[bytes]]) -> np.ndarray:
         ssz = self.sample_size // 8

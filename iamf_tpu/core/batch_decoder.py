@@ -101,6 +101,10 @@ class BatchedStreamDecoder:
                 rdr.LAYER_IDS[in_layout], self.layout.render_id
             ).T.copy()
 
+        self.input_scale = 1.0
+        self.raw_input = hasattr(self.codec, "decode_batch_raw")
+        if self.raw_input:
+            self.input_scale = 1.0 / float(getattr(self.codec, "scale", 1.0))
         self.cfg = PipelineConfig(
             frame_size=self.frame_size,
             out_channels=out_ch,
@@ -110,6 +114,7 @@ class BatchedStreamDecoder:
                     demix=self.demix_spec,
                     n_in=len(order),
                     n_rendered=len(order),
+                    input_scale=self.input_scale,
                 ),
             ),
             limiter=LimiterConfig(channels=out_ch) if limiter else None,
@@ -122,45 +127,68 @@ class BatchedStreamDecoder:
         )
 
     def decode_all(self) -> np.ndarray:
-        """Decode everything; returns [samples, out_channels] int PCM."""
+        """Decode everything; returns [samples, out_channels] int PCM.
+
+        Host unpack is a single vectorized pass; device batches are enqueued
+        asynchronously (JAX dispatch) and results fetched at the end, so
+        host<->device transfers overlap with compute.
+        """
         B = self.batch_frames
         T = self.frame_size
         n = self.n_frames
         carry = init_carry(self.cfg)
         mat = jnp.asarray(self.render_mat)
-        outs = []
 
+        # one vectorized unpack for the whole stream
+        packets_per_substream = [
+            self.frames_per_substream[sid] for sid in self.substream_ids
+        ]
+        if self.raw_input:
+            all_x, _scale = self.codec.decode_batch_raw(packets_per_substream, T)
+        elif hasattr(self.codec, "decode_batch"):
+            all_x = self.codec.decode_batch(packets_per_substream, T)
+        else:
+            all_x = np.stack(
+                [
+                    self.codec.decode([p[k] for p in packets_per_substream])
+                    for k in range(n)
+                ]
+            )
+
+        ones_bt = jnp.ones((B, T), jnp.float32)
+        zeros_rg = jnp.zeros((B, 0, T), jnp.float32)
+        zeros_bt = jnp.zeros((B, T), jnp.float32)
+        mat_b = jnp.broadcast_to(mat, (B,) + mat.shape)
+        factors = {k: ones_bt for k in ("alpha", "beta", "gamma", "delta", "dw")}
+
+        device_outs = []
+        counts = []
         for start in range(0, n, B):
             count = min(B, n - start)
-            xs = np.zeros(
-                (B, len(self.demix_spec.channels_in), T), dtype=np.float32
-            )
-            for k in range(count):
-                packets = [
-                    self.frames_per_substream[sid][start + k]
-                    for sid in self.substream_ids
-                ]
-                xs[k] = self.codec.decode(packets)
-            ones_bt = jnp.ones((B, T), jnp.float32)
+            xs = all_x[start : start + count]
+            if count < B:
+                xs = np.concatenate(
+                    [xs, np.zeros((B - count,) + xs.shape[1:], xs.dtype)]
+                )
             batch = {
                 "x": [jnp.asarray(xs)],
-                "factors": [
-                    {
-                        k: ones_bt
-                        for k in ("alpha", "beta", "gamma", "delta", "dw")
-                    }
-                ],
+                "factors": [factors],
                 "rg_index": [()],
-                "rg_filt": [jnp.zeros((B, 0, T), jnp.float32)],
-                "render_prev": [jnp.broadcast_to(mat, (B,) + mat.shape)],
-                "render_cur": [jnp.broadcast_to(mat, (B,) + mat.shape)],
-                "offset_mask": [jnp.zeros((B, T), jnp.float32)],
+                "rg_filt": [zeros_rg],
+                "render_prev": [mat_b],
+                "render_cur": [mat_b],
+                "offset_mask": [zeros_bt],
                 "elem_gain": [ones_bt],
                 "out_gain": ones_bt,
             }
             carry, pcm = decode_frames(self.cfg, carry, batch)
-            outs.append(np.asarray(pcm[:count]).reshape(count * T, -1))
+            device_outs.append(pcm)
+            counts.append(count)
 
+        outs = [
+            np.asarray(pcm[:c]).reshape(c * T, -1)
+            for pcm, c in zip(device_outs, counts)
+        ]
         out = np.concatenate(outs, axis=0)
         # limiter look-ahead: drop the first delay samples, drain the tail
         if self.cfg.limiter is not None:

@@ -43,6 +43,8 @@ class ElementSpec:
     n_in: int  # decoded channels entering the pipeline
     n_rendered: int  # channels after demix/reorder (render matrix rows input)
     render_offset: int = 0  # DMRenderer offset split position (codec delay)
+    input_scale: float = 1.0  # applied when x arrives as integers (device-
+    #   side int->float conversion halves host->device transfer volume)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +124,8 @@ def _frame_compute(cfg: PipelineConfig, inputs: dict):
     mixed = None
     for i, es in enumerate(cfg.elements):
         x = inputs["x"][i]
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32) * jnp.float32(es.input_scale)
         if es.demix is not None:
             y = demix_frame(
                 x,
@@ -191,11 +195,35 @@ def decode_frames(cfg: PipelineConfig, carry: dict, batch: dict):
     mixed = jax.vmap(wrapped)(per_frame_inputs)  # [B, out_ch, T]
 
     if cfg.limiter is not None:
+        lim = cfg.limiter
+        B, C, T = mixed.shape
+        thr = jnp.float32(lim.linear_threshold)
+        state = carry["limiter"]
+        batch_peak = jnp.max(jnp.abs(mixed))
 
-        def lim_step(state, frame):
-            return _limiter_block(cfg.limiter, state, frame)
+        def fast(state):
+            # whole batch below threshold + idle envelope: one flattened
+            # delay-line pass, no per-sample scan at all
+            from ..dsp.limiter import fast_pass
 
-        lim_state, limited = jax.lax.scan(lim_step, carry["limiter"], mixed)
+            flat = mixed.transpose(1, 0, 2).reshape(C, B * T)
+            peaks_in = jnp.max(jnp.abs(flat), axis=0)
+            new_state, y = fast_pass(lim, state, flat, peaks_in)
+            return new_state, y.reshape(C, B, T).transpose(1, 0, 2)
+
+        def slow(state):
+            def lim_step(s, frame):
+                return _limiter_block(lim, s, frame)
+
+            return jax.lax.scan(lim_step, state, mixed)
+
+        can_fast = jnp.logical_and(
+            state["current_tc"] == -1.0,
+            jnp.logical_and(
+                jnp.max(state["peak_data"]) <= thr, batch_peak <= thr
+            ),
+        )
+        lim_state, limited = jax.lax.cond(can_fast, fast, slow, state)
         carry = dict(carry, limiter=lim_state)
         mixed = limited
 

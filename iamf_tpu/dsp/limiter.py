@@ -109,6 +109,29 @@ def _gain_step(cfg: LimiterConfig, state, peak):
     return new_state, gain
 
 
+def fast_pass(cfg: LimiterConfig, state: dict, x, peaks_in):
+    """Below-threshold idle path for any block length: pure delay-line
+    passthrough (gain 1), preserving ring phase. x: [C, N]."""
+    D = cfg.delay_size
+    N = x.shape[1]
+    idx = state["entry_index"]
+    ring_order = (idx + jnp.arange(D)) % D
+    seq = jnp.concatenate([state["delay_data"][:, ring_order], x], axis=1)
+    y = seq[:, :N]
+    new_delay = jax.lax.dynamic_slice_in_dim(seq, N, D, axis=1)
+    peaks_seq = jnp.concatenate([state["peak_data"][ring_order], peaks_in])
+    new_peaks = jax.lax.dynamic_slice_in_dim(peaks_seq, N, D, axis=0)
+    new_idx = (idx + N) % D
+    inv = (jnp.arange(D) - new_idx) % D
+    new_state = dict(
+        state,
+        delay_data=new_delay[:, inv],
+        peak_data=new_peaks[inv],
+        entry_index=new_idx,
+    )
+    return new_state, y
+
+
 @partial(jax.jit, static_argnums=(0,))
 def process_block(cfg: LimiterConfig, state: dict, x):
     """x: [channels, T] -> (new_state, y [channels, T]).

@@ -170,6 +170,181 @@ def build_pcm_mono_stream(n_frames: int = 8, **kw):
     return build_pcm_layout_stream(ChannelLayout.MONO, n_frames=n_frames, **kw)
 
 
+def build_scalable_pcm_stream(
+    n_frames: int = 8,
+    frame_size: int = 960,
+    sample_size: int = 16,
+    rate: int = 48000,
+    amp: float = 0.4,
+    demix_modes=None,  # per-frame demixing_mode sequence (param blocks)
+    recon_gains=None,  # per-frame (g_ls, g_rs) Q0.8 recon gains, or None
+    default_demix_mode: int = 1,
+    default_demix_w: int = 0,
+    target_layouts=(1, 0),
+    seed: int = 7,
+) -> tuple[bytes, np.ndarray]:
+    """Two-layer scalable channel stream: stereo layer + 5.1 layer.
+
+    Layer 1: 1 coupled substream (L2,R2). Layer 2 adds 3 substreams
+    (coupled L5/R5 + mono C + mono LFE); SL5/SR5 are demixed by the decoder
+    via the S3->5 chain, exercising demix modes, the w-index walk, and
+    recon-gain RMS smoothing.
+    """
+    from iamf_tpu.constants import ChannelLayout, ParameterType
+
+    nch = 6  # L2 R2 L5 R5 C LFE (codec order)
+    total = n_frames * frame_size
+    pcm = sine_pcm(total, nch, rate, amp=amp, bits=sample_size, seed=seed)
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    out += builder.codec_config_obu(
+        1, b"ipcm", frame_size, 0, builder.pcm_decoder_conf(sample_size, rate)
+    )
+    demix = builder.ParamDefinition(
+        id=998, rate=rate, mode=0, duration=frame_size,
+        constant_segment_interval=frame_size,
+    )
+    recon = builder.ParamDefinition(
+        id=997, rate=rate, mode=0, duration=frame_size,
+        constant_segment_interval=frame_size,
+    )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=[0, 1, 2, 3],
+        layers=[
+            builder.LayerSpec(ChannelLayout.STEREO, 1, 1),
+            builder.LayerSpec(
+                ChannelLayout.L510, 3, 1, recon_gain_flag=True
+            ),
+        ],
+        demix_param=demix,
+        recon_param=recon if recon_gains is not None else None,
+        default_demix_mode=default_demix_mode,
+        default_demix_w=default_demix_w,
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=ss) for ss in target_layouts],
+    )
+    for f in range(n_frames):
+        if demix_modes is not None:
+            out += builder.parameter_block_obu(
+                998, ParameterType.DEMIXING, duration=frame_size,
+                constant_segment_interval=frame_size, mode=0,
+                segments=[{"mode": demix_modes[f % len(demix_modes)]}],
+            )
+        if recon_gains is not None:
+            g = recon_gains[f % len(recon_gains)]
+            # flags: RE_LS|RE_RS (bits 3,4); layer 1 (bit 1) present
+            out += builder.parameter_block_obu(
+                997, ParameterType.RECON_GAIN, duration=frame_size,
+                constant_segment_interval=frame_size, mode=0,
+                segments=[{"entries": [None, (0b11000, list(g))]}],
+            )
+        frame = pcm[f * frame_size : (f + 1) * frame_size]
+        out += builder.audio_frame_obu(
+            0, builder.pack_pcm_frame(frame[:, 0:2], sample_size)
+        )
+        out += builder.audio_frame_obu(
+            1, builder.pack_pcm_frame(frame[:, 2:4], sample_size)
+        )
+        out += builder.audio_frame_obu(
+            2, builder.pack_pcm_frame(frame[:, 4:5], sample_size)
+        )
+        out += builder.audio_frame_obu(
+            3, builder.pack_pcm_frame(frame[:, 5:6], sample_size)
+        )
+    return bytes(out), pcm
+
+
+def build_ambisonics_pcm_stream(
+    order: int = 1,
+    n_frames: int = 8,
+    frame_size: int = 960,
+    sample_size: int = 16,
+    rate: int = 48000,
+    amp: float = 0.4,
+    projection: bool = False,
+    seed: int = 11,
+    target_layouts=(1, 0),
+) -> tuple[bytes, np.ndarray]:
+    """Scene-based (ambisonics) ipcm stream: FOA/SOA/TOA ACN channels as
+    mono substreams (mode=MONO) or coupled+mono with a Q15 demix matrix
+    (mode=PROJECTION)."""
+    nch = (order + 1) ** 2
+    total = n_frames * frame_size
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    out += builder.codec_config_obu(
+        1, b"ipcm", frame_size, 0, builder.pcm_decoder_conf(sample_size, rate)
+    )
+    if not projection:
+        amb = {
+            "mode": 0,
+            "output_channel_count": nch,
+            "substream_count": nch,
+            "mapping": list(range(nch)),
+        }
+        nsub, ncoupled = nch, 0
+        stream_ch = nch
+    else:
+        # projection: Q15 matrix [stream channels, ambisonics channels];
+        # coupled substreams carry 2 channels each
+        ncoupled = nch // 2
+        nsub = nch - ncoupled
+        stream_ch = nsub + ncoupled
+        mat = np.zeros((stream_ch, nch), dtype=np.int64)
+        for i in range(min(stream_ch, nch)):
+            mat[i, i] = 16384  # 0.5 in Q15
+        amb = {
+            "mode": 1,
+            "output_channel_count": nch,
+            "substream_count": nsub,
+            "coupled_substream_count": ncoupled,
+            "mapping": mat.astype(">i2").tobytes(),
+        }
+    pcm = sine_pcm(total, stream_ch, rate, amp=amp, bits=sample_size, seed=seed)
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.SCENE_BASED,
+        codec_config_id=1,
+        substream_ids=list(range(nsub)),
+        ambisonics=amb,
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=ss) for ss in target_layouts],
+    )
+    for f in range(n_frames):
+        frame = pcm[f * frame_size : (f + 1) * frame_size]
+        ch = 0
+        for s in range(ncoupled):
+            out += builder.audio_frame_obu(
+                s, builder.pack_pcm_frame(frame[:, ch : ch + 2], sample_size)
+            )
+            ch += 2
+        for s in range(ncoupled, nsub):
+            out += builder.audio_frame_obu(
+                s, builder.pack_pcm_frame(frame[:, ch : ch + 1], sample_size)
+            )
+            ch += 1
+    return bytes(out), pcm
+
+
 def build_flac_layout_stream(
     layout: int,
     n_frames: int = 8,
