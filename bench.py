@@ -23,19 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 import numpy as np
 
-# persistent compilation cache: the limiter scan compile is expensive on the
-# first run; subsequent bench runs reuse it
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/iamf_tpu_jax_cache")
-try:
-    import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ["JAX_COMPILATION_CACHE_DIR"],
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# NOTE: do not enable the persistent jax compilation cache here — with the
+# axon remote-compile transport it has been observed to hang the first
+# compile indefinitely. Warmup pays the compile cost instead.
 
 
 def build_stream(seconds: float = 30.0):

@@ -539,6 +539,19 @@ class StreamDecoder:
             self.delay = self.sub_decoders[0].delay
 
 
+def _accumulate_render(mat: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Gain-matrix render with the reference's float32 accumulation order:
+    out[n] += mat[m, n] * in[m] over ascending m (render_M2M m2m_rdr.c:
+    1820-1840, render_H2M h2m_rdr.c:1088-1112) — keeps the frame-serial path
+    bit-exact. The batched pipeline uses a plain matmul (<=1 ULP)."""
+    M, N = mat.shape
+    T = x.shape[1]
+    out = np.zeros((N, T), dtype=np.float32)
+    for m in range(M):
+        out += mat[m][:, None] * x[m][None, :]
+    return out
+
+
 class StreamRenderer:
     """Render one element's frame to the target layout
     (IAMF_StreamRenderer, IAMF_decoder.c:2440-2660)."""
@@ -548,6 +561,7 @@ class StreamRenderer:
         self.offset = 0
         self.headphones_rendering_mode = headphones_rendering_mode
         self.downmixer: Optional[DownmixerState] = None
+        self.hrtf = None  # lazily created HRTF conv renderer (M2B/H2B)
         layout = stream.final_layout
 
         if (
@@ -572,6 +586,17 @@ class StreamRenderer:
         if s.scheme == ElementType.CHANNEL_BASED:
             in_ch = len(LAYOUT_CHANNELS_RENDER[s.selected_layout])
             xin = x[:in_ch]
+            if (
+                layout.type == LayoutType.BINAURAL
+                and self.headphones_rendering_mode == 1
+            ):
+                # M2B: HRTF convolution of the channel bed (replaces BEAR;
+                # reference default compiles this out and falls to M2M)
+                from ..dsp.binaural import HRTFRenderer
+
+                if self.hrtf is None:
+                    self.hrtf = HRTFRenderer(s.selected_layout, frame_size)
+                return self.hrtf.render(xin)
             if self.downmixer is not None:
                 # offset-split: delayed samples use previous demix weights
                 # (iamf_stream_render :2574-2583)
@@ -601,13 +626,25 @@ class StreamRenderer:
             else:
                 in_id = rdr.LAYER_IDS[s.selected_layout]
             mat = rdr.m2m_matrix(in_id, layout.render_id, layout.samsung_tv)
-            # render_M2M: out[n] += mat[m,n] * in[m]
-            return (mat.T @ xin).astype(np.float32)
+            return _accumulate_render(mat, xin)
         else:
             order = rdr.hoa_order_for_channels(x.shape[0])
             if order < 0:
                 raise ValueError(f"bad ambisonics channel count {x.shape[0]}")
+            if (
+                layout.type == LayoutType.BINAURAL
+                and self.headphones_rendering_mode == 1
+            ):
+                # H2B: HOA -> 7.1.2 virtual speaker bed -> HRTF convolution
+                # (replaces Resonance)
+                from ..dsp.binaural import HRTFRenderer
+
+                virt = rdr.h2m_full_matrix(order, 0x712, 10, layout.samsung_tv)
+                bed = (virt @ x).astype(np.float32)
+                if self.hrtf is None:
+                    self.hrtf = HRTFRenderer(ChannelLayout.L712, frame_size)
+                return self.hrtf.render(bed)
             full = rdr.h2m_full_matrix(
                 order, layout.render_id, out_ch, layout.samsung_tv
             )
-            return (full @ x).astype(np.float32)
+            return _accumulate_render(full.T, x)

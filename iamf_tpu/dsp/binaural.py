@@ -1,0 +1,187 @@
+"""Binaural (HRTF-convolution) renderer, TPU-native.
+
+The reference delegates binaural to external shared libraries (BEAR for
+channel beds, m2b_rdr.c; Google Resonance for ambisonics, h2b_rdr.c), both
+compiled out by default (DISABLE_BINAURALIZER=1, ae_rdr.h:67-69; the default
+`-sb` path is then the M2M IAMF_BINAURAL gain matrix). This framework
+replaces them with its own batched HRTF FFT-convolution op (BASELINE.json
+north star):
+
+  - an HRIR bank [2 ears, n_speakers, taps] — by default a parametric
+    spherical-head model (Woodworth ITD + head-shadow lowpass + pinna notch)
+    at each layout's BS.2051 speaker direction; measured HRIR sets (SADIE
+    etc.) can be loaded in the same shape
+  - streaming overlap-save convolution: rfft over the frame + tail, batched
+    matmul across (ear, speaker) in the frequency domain on the MXU,
+    irfft, with a [2, taps-1] overlap carry
+
+Scene-based content is first decoded to a 7.1.4 virtual loudspeaker bed via
+the H2M matrix, then binauralized (virtual-speaker approach).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CH, ChannelLayout, LAYOUT_CHANNELS_RENDER
+
+SPEED_OF_SOUND = 343.0
+HEAD_RADIUS = 0.0875  # m
+
+# (azimuth degrees [left positive], elevation degrees) per channel identity;
+# BS.2051 nominal positions.
+CHANNEL_DIRECTIONS = {
+    CH.MONO: (0.0, 0.0),
+    CH.L2: (30.0, 0.0),
+    CH.R2: (-30.0, 0.0),
+    CH.L3: (30.0, 0.0),
+    CH.R3: (-30.0, 0.0),
+    CH.L7: (30.0, 0.0),
+    CH.R7: (-30.0, 0.0),
+    CH.C: (0.0, 0.0),
+    CH.LFE: (0.0, -15.0),
+    CH.SL5: (110.0, 0.0),
+    CH.SR5: (-110.0, 0.0),
+    CH.SL7: (90.0, 0.0),
+    CH.SR7: (-90.0, 0.0),
+    CH.BL7: (135.0, 0.0),
+    CH.BR7: (-135.0, 0.0),
+    CH.TL: (45.0, 35.0),
+    CH.TR: (-45.0, 35.0),
+    CH.HL: (45.0, 35.0),
+    CH.HR: (-45.0, 35.0),
+    CH.HFL: (45.0, 35.0),
+    CH.HFR: (-45.0, 35.0),
+    CH.HBL: (135.0, 35.0),
+    CH.HBR: (-135.0, 35.0),
+}
+
+
+def spherical_head_hrir(
+    azimuth_deg: float,
+    elevation_deg: float,
+    taps: int = 256,
+    rate: int = 48000,
+) -> np.ndarray:
+    """[2, taps] HRIR pair from a parametric spherical-head model.
+
+    Per ear: Woodworth ITD delay (fractional, windowed-sinc), a first-order
+    head-shadow lowpass whose cutoff falls with incidence angle, and a mild
+    elevation-dependent pinna notch.
+    """
+    az = math.radians(azimuth_deg)
+    el = math.radians(elevation_deg)
+    out = np.zeros((2, taps), dtype=np.float64)
+
+    base_delay = 16  # samples of causal headroom
+    for ear, sign in ((0, 1.0), (1, -1.0)):  # 0 = left ear
+        # incidence angle between source and ear axis
+        x = math.sin(az * sign) * math.cos(el)
+        inc = math.acos(max(-1.0, min(1.0, x)))  # 0 = toward this ear
+        # Woodworth: delay relative to head center
+        if inc <= math.pi / 2:
+            dt = -HEAD_RADIUS / SPEED_OF_SOUND * math.cos(inc)
+        else:
+            dt = HEAD_RADIUS / SPEED_OF_SOUND * (inc - math.pi / 2)
+        delay = base_delay + dt * rate + HEAD_RADIUS / SPEED_OF_SOUND * rate
+
+        # fractional-delay sinc impulse, windowed around the delay center
+        n = np.arange(taps)
+        sinc = np.sinc(n - delay)
+        half_w = 32.0
+        win = np.where(
+            np.abs(n - delay) < half_w,
+            0.5 * (1.0 + np.cos(np.pi * (n - delay) / half_w)),
+            0.0,
+        )
+        h = sinc * win
+
+        # head shadow: single-pole lowpass, stronger on the far side
+        shadow = 0.5 * (1.0 + math.cos(inc))  # 1 near ear, 0 far
+        fc = 1500.0 + 18000.0 * shadow  # Hz
+        a = math.exp(-2.0 * math.pi * fc / rate)
+        g = 1.0 - a
+        y = np.zeros(taps)
+        state = 0.0
+        for i in range(taps):
+            state = g * h[i] + a * state
+            y[i] = state
+        # near-ear gain boost / far-ear attenuation (ILD)
+        y *= 0.7 + 0.3 * shadow
+
+        # elevation pinna cue: small delayed negative reflection
+        refl_delay = int(round((6.0 - 3.0 * math.sin(el)) * rate / 48000.0))
+        refl = np.zeros(taps)
+        if refl_delay + 1 < taps:
+            refl[refl_delay] = -0.25 * (1.0 - 0.5 * math.sin(el))
+        y = y + np.convolve(y, refl)[:taps]
+
+        out[ear] = y
+    return out.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def hrir_bank(layout: ChannelLayout, taps: int = 256, rate: int = 48000):
+    """[2, n_speakers, taps] HRIR bank for a layout's rendering order."""
+    chans = LAYOUT_CHANNELS_RENDER[layout]
+    bank = np.stack(
+        [
+            spherical_head_hrir(*CHANNEL_DIRECTIONS[c], taps=taps, rate=rate)
+            for c in chans
+        ],
+        axis=1,
+    )
+    # LFE: omnidirectional, reduced level
+    for i, c in enumerate(chans):
+        if c == CH.LFE:
+            lfe = np.zeros((2, taps), dtype=np.float32)
+            lfe[:, 16] = 0.5
+            bank[:, i] = lfe
+    return bank
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _fft_conv_block(x, H, overlap, taps: int):
+    """Overlap-save frequency-domain convolution of one frame.
+
+    x: [C, T] speakers; H: [2, C, F] rfft of HRIRs (padded to T+taps-1);
+    overlap: [2, taps-1] carry. Returns ([2, T], new overlap).
+    """
+    C, T = x.shape
+    n = T + taps - 1
+    X = jnp.fft.rfft(x, n=n, axis=1)  # [C, F]
+    Y = jnp.einsum("ecf,cf->ef", H, X)  # [2, F] on MXU via complex matmul
+    y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
+    out = y[:, :T].at[:, : taps - 1].add(overlap)
+    new_overlap = y[:, T:]
+    return out, new_overlap
+
+
+class HRTFRenderer:
+    """Streaming binaural renderer for one element (M2B/H2B equivalent)."""
+
+    def __init__(self, layout: ChannelLayout, frame_size: int,
+                 taps: int = 256, rate: int = 48000):
+        self.layout = layout
+        self.taps = taps
+        self.frame_size = frame_size
+        bank = hrir_bank(layout, taps, rate)  # [2, C, taps]
+        n = frame_size + taps - 1
+        self.H = jnp.asarray(np.fft.rfft(bank, n=n, axis=2))
+        self.overlap = jnp.zeros((2, taps - 1), jnp.float32)
+
+    def render(self, x) -> np.ndarray:
+        """x: [C, T] speaker feeds (rendering order) -> [2, T] binaural."""
+        out, self.overlap = _fft_conv_block(
+            jnp.asarray(x), self.H, self.overlap, self.taps
+        )
+        return np.asarray(out)
+
+    def reset(self) -> None:
+        self.overlap = jnp.zeros((2, self.taps - 1), jnp.float32)

@@ -1,0 +1,118 @@
+"""Minimal MP4 muxer for IAMF tracks (test-vector side).
+
+Writes a non-fragmented .mp4 with one 'soun' track whose sample entry is
+'iamf' (descriptor OBUs after the 28-byte AudioSampleEntry header), matching
+what the reference demuxer reads (mp4demux.c mov_read_iamf :512-573).
+Samples are temporal units: parameter OBUs + audio frame OBUs per access
+unit (without descriptor OBUs).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Sequence
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def mux_iamf_mp4(
+    descriptors: bytes,
+    samples: Sequence[bytes],
+    frame_size: int = 960,
+    timescale: int = 48000,
+    channels: int = 2,
+    bits: int = 16,
+    media_time: int = 0,
+) -> bytes:
+    """Build a complete .mp4 byte string."""
+    n = len(samples)
+    duration = n * frame_size
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiamf")
+
+    # mdat first so chunk offsets are easy to compute afterwards
+    mdat_payload = b"".join(samples)
+
+    # --- stbl ---
+    entry = (
+        struct.pack(">IHH", 0, 0, 1)  # reserved, reserved, data_ref_idx
+        + struct.pack(">II", 0, 0)  # reserved
+        + struct.pack(">HHHH", channels, bits, 0, 0)
+        + struct.pack(">I", timescale << 16)
+        + descriptors
+    )
+    stsd = _full(
+        b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"iamf", entry)
+    )
+    stts = _full(
+        b"stts", 0, 0, struct.pack(">II", 1, 0)[:4]
+        + struct.pack(">II", n, frame_size)
+    )
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    # stco patched after layout known
+    stco_placeholder = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco_placeholder)
+
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", smhd + dinf + stbl)
+
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"iamf\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    edts = b""
+    if media_time:
+        elst = _full(
+            b"elst", 0, 0,
+            struct.pack(">I", 1) + struct.pack(">IiHH", duration, media_time, 1, 0),
+        )
+        edts = _box(b"edts", elst)
+    trak = _box(b"trak", tkhd + edts + mdia)
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+
+    # layout: ftyp, moov, mdat. chunk offset = start of mdat payload.
+    mdat = _box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + len(moov) + 8
+    moov = moov.replace(
+        _full(b"stco", 0, 0, struct.pack(">II", 1, 0)),
+        _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset)),
+    )
+    return ftyp + moov + mdat

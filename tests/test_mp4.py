@@ -1,0 +1,87 @@
+"""MP4 container path tests: demux, decode, seek (-ts) vs reference -i1."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import vectors
+from test_e2e_pcm import REF_STD, assert_bitexact
+from iamf_tpu.utils.wav import read_wav
+
+
+def ref_decode_mp4(mp4_bytes, tmp_path, sound_system="1", extra=()):
+    if not os.path.exists(REF_STD):
+        pytest.skip("reference player not built")
+    path = os.path.join(str(tmp_path), "vec.mp4")
+    with open(path, "wb") as f:
+        f.write(mp4_bytes)
+    subprocess.run(
+        [REF_STD, "-i1", "-o2", f"-s{sound_system}", *extra, "vec.mp4"],
+        cwd=str(tmp_path), capture_output=True, timeout=300,
+    )
+    wav = os.path.join(str(tmp_path), f"ss{sound_system}_vec.wav")
+    if not os.path.exists(wav):
+        pytest.fail("reference produced no wav from mp4")
+    pcm, _, _ = read_wav(wav)
+    return pcm
+
+
+def ours_decode_mp4(mp4_bytes, tmp_path, sound_system=1, start=0.0):
+    from iamf_tpu.api import IAMFDecoder
+    from iamf_tpu.tools.player import decode_mp4
+
+    path = os.path.join(str(tmp_path), "ours.mp4")
+    with open(path, "wb") as f:
+        f.write(mp4_bytes)
+    dec = IAMFDecoder()
+    dec.set_sound_system(sound_system)
+    pcm, frames, _ = decode_mp4(dec, path, start)
+    return pcm
+
+
+def test_mp4_demux_structure(tmp_path):
+    stream, _ = vectors.build_pcm_51_stream(n_frames=6)
+    mp4 = vectors.build_mp4(stream)
+    from iamf_tpu.mp4.iamf_track import MP4IAMFParser
+
+    path = os.path.join(str(tmp_path), "t.mp4")
+    open(path, "wb").write(mp4)
+    p = MP4IAMFParser(path)
+    assert p.timescale == 48000
+    assert p.demux.n_samples == 6
+    pkts = list(p.packets())
+    assert len(pkts) == 6
+    assert all(nd is None for _, nd in pkts)
+
+
+def test_mp4_decode_matches_bitstream(tmp_path):
+    stream, _ = vectors.build_pcm_51_stream(n_frames=6)
+    mp4 = vectors.build_mp4(stream)
+    ref = ref_decode_mp4(mp4, tmp_path, "1")
+    ours = ours_decode_mp4(mp4, tmp_path, 1)
+    assert_bitexact(ours, ref)
+
+
+def test_mp4_seek(tmp_path):
+    """-ts seek: walk sample deltas, decode from the target."""
+    # reference -ts takes integer seconds (strtoul, iamfplayer.c:867)
+    stream, _ = vectors.build_pcm_51_stream(n_frames=60)
+    mp4 = vectors.build_mp4(stream)
+    ref = ref_decode_mp4(mp4, tmp_path, "1", extra=("-ts", "1"))
+    ours = ours_decode_mp4(mp4, tmp_path, 1, start=1.0)
+    assert_bitexact(ours, ref)
+
+
+def test_mp4_scalable_with_params(tmp_path):
+    """Config 4 shape: multi-layer scalable from mp4 with demix params."""
+    stream, _ = vectors.build_scalable_pcm_stream(
+        n_frames=8, demix_modes=[1, 2, 4, 1, 5, 6, 0, 2]
+    )
+    mp4 = vectors.build_mp4(stream)
+    ref = ref_decode_mp4(mp4, tmp_path, "1")
+    ours = ours_decode_mp4(mp4, tmp_path, 1)
+    n = min(len(ours), len(ref))
+    diff = np.abs(ours[:n].astype(np.int64) - ref[:n].astype(np.int64))
+    assert len(ours) == len(ref) and diff.max() <= 1

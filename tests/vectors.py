@@ -416,6 +416,54 @@ def build_flac_layout_stream(
     return bytes(out), pcm
 
 
+def split_into_units(stream: bytes) -> tuple[bytes, list[bytes]]:
+    """Split a bitstream into (descriptor OBUs, [temporal unit bytes]).
+
+    A temporal unit = parameter blocks + one audio frame per substream; the
+    unit closes when the substream count for the element is reached.
+    """
+    from iamf_tpu.obu import parser as p
+
+    off = p.find_sequence_header(stream)
+    descriptors = bytearray()
+    units: list[bytes] = []
+    nb_substreams = 0
+    cur = bytearray()
+    frames_in_unit = 0
+    pos = off
+    while pos < len(stream):
+        obu = p.split_obu(stream, pos)
+        if obu is None:
+            break
+        raw = stream[pos : pos + obu.size]
+        if obu.is_descriptor:
+            descriptors += raw
+            if obu.type == 1:  # audio element: count substreams
+                el = p.parse_audio_element(obu)
+                nb_substreams = el.nb_substreams
+        else:
+            cur += raw
+            if obu.is_audio_frame:
+                frames_in_unit += 1
+                if frames_in_unit >= nb_substreams:
+                    units.append(bytes(cur))
+                    cur = bytearray()
+                    frames_in_unit = 0
+        pos += obu.size
+    if cur:
+        units.append(bytes(cur))
+    return bytes(descriptors), units
+
+
+def build_mp4(stream: bytes, frame_size: int = 960, media_time: int = 0) -> bytes:
+    from iamf_tpu.tools.mp4builder import mux_iamf_mp4
+
+    descriptors, units = split_into_units(stream)
+    return mux_iamf_mp4(
+        descriptors, units, frame_size=frame_size, media_time=media_time
+    )
+
+
 def decode_with_reference(
     player: str, stream: bytes, workdir: str, sound_system: str = "0",
     extra_args: tuple = (), name: str = "vec",
