@@ -57,6 +57,11 @@ WANTED = {
     "gains": np.float32,  # postfilter taps (celt/celt.c)
     "tf_select_table": np.int8,
     "quant_offset": np.int32,
+    "eMeans": np.float32,
+    "pred_coef": np.float32,
+    "beta_coef": np.float32,
+    "beta_intra": np.float32,
+    "ordery_table": np.int32,
 }
 
 SILK_PREFIXES = ("silk_",)

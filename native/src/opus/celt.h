@@ -1,0 +1,172 @@
+// CELT decoder (RFC 6716 §4.3) — iamf-tpu native implementation.
+//
+// Algorithms implemented from the specification; numeric constant tables in
+// celt_tables.cc (see iamf_tpu/tools/extract_opus_tables.py for
+// provenance). Supports the 48 kHz Opus modes: frames of 2.5/5/10/20 ms
+// (LM=0..3), mono and stereo.
+
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+
+#include "entdec.h"
+
+namespace iamf_opus {
+
+constexpr int NB_EBANDS = 21;
+constexpr int MAX_LM = 3;
+constexpr int SHORT_MDCT_SIZE = 120;
+constexpr int OVERLAP = 120;
+constexpr int BITRES = 3;
+constexpr int MAX_FINE_BITS = 8;
+constexpr int FINE_OFFSET = 21;
+constexpr int ALLOC_STEPS = 6;
+constexpr int NB_ALLOC_VECTORS = 11;
+constexpr int SPREAD_NONE = 0;
+constexpr int SPREAD_LIGHT = 1;
+constexpr int SPREAD_NORMAL = 2;
+constexpr int SPREAD_AGGRESSIVE = 3;
+constexpr int COMBFILTER_MAXPERIOD = 1024;
+constexpr int COMBFILTER_MINPERIOD = 15;
+constexpr int DECODE_BUFFER_SIZE = 2048;
+constexpr float CELT_SIG_SCALE = 32768.f;
+
+// mode accessors (48 kHz, shortMdctSize=120, 21 bands)
+const short* mode_eBands();       // [22]
+const short* mode_logN();         // [21]
+const unsigned char* mode_alloc_vectors();  // [11*21]
+const short* mode_cache_index();  // [(MAX_LM+2)*21]
+const unsigned char* mode_cache_bits();
+const unsigned char* mode_cache_caps();
+
+// ---- rate.c equivalents -------------------------------------------------
+
+inline int get_pulses(int i) { return i < 8 ? i : (8 + (i & 7)) << ((i >> 3) - 1); }
+
+int bits2pulses(int band, int LM, int bits);
+int pulses2bits(int band, int LM, int pulses);
+void init_caps(int* cap, int LM, int C);
+
+// Bit allocation (decode side). Returns codedBands.
+int compute_allocation(int start, int end, const int* offsets, const int* cap,
+                       int alloc_trim, int* intensity, int* dual_stereo,
+                       int total, int* balance, int* pulses, int* ebits,
+                       int* fine_priority, int C, int LM, EntDec* ec);
+
+// ---- quant_bands.c equivalents -----------------------------------------
+
+void unquant_coarse_energy(int start, int end, float* oldEBands, int intra,
+                           EntDec& dec, int C, int LM);
+void unquant_fine_energy(int start, int end, float* oldEBands,
+                         const int* fine_quant, EntDec& dec, int C);
+void unquant_energy_finalise(int start, int end, float* oldEBands,
+                             const int* fine_quant, const int* fine_priority,
+                             int bits_left, EntDec& dec, int C);
+
+// ---- bands.c equivalents ------------------------------------------------
+
+void tf_decode(int start, int end, int isTransient, int* tf_res, int LM,
+               EntDec& dec);
+
+uint32_t celt_lcg_rand(uint32_t seed);
+
+void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
+                            unsigned char* collapse_masks, const int* pulses,
+                            int shortBlocks, int spread, int dual_stereo,
+                            int intensity, const int* tf_res, int total_bits,
+                            int balance, EntDec& ec, int LM, int codedBands,
+                            uint32_t* seed);
+
+void anti_collapse(float* X_, const unsigned char* collapse_masks, int LM,
+                   int C, int size, int start, int end, const float* logE,
+                   const float* prev1logE, const float* prev2logE,
+                   const int* pulses, uint32_t seed);
+
+void denormalise_bands(const float* X, float* freq, const float* bandLogE,
+                       int start, int end, int M, int silence);
+
+// ---- PVQ ---------------------------------------------------------------
+
+void decode_pulses(int* y, int N, int K, EntDec& dec);
+// decode + rotate + normalize. Returns collapse mask.
+unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
+                     float gain);
+void renormalise_vector(float* X, int N, float gain);
+void haar1(float* X, int N0, int stride);
+void deinterleave_hadamard(float* X, int N0, int stride, int hadamard);
+void interleave_hadamard(float* X, int N0, int stride, int hadamard);
+void stereo_merge(float* X, float* Y, float mid, int N);
+void exp_rotation(float* X, int len, int dir, int stride, int K, int spread);
+
+// ---- MDCT synthesis ----------------------------------------------------
+
+// Inverse MDCT of one block: in has N/2 freq samples with stride `stride`
+// (B interleaving); out gets N time samples added with window overlap.
+void clt_mdct_backward(const float* in, float* out, int N, int stride,
+                       const float* window, int overlap);
+
+void comb_filter(float* y, float* x, int T0, int T1, int N, float g0, float g1,
+                 int tapset0, int tapset1, const float* window, int overlap);
+
+// ---- decoder state ------------------------------------------------------
+
+struct CeltDecoder {
+  int channels;       // 1 or 2
+  int stream_channels;
+  int postfilter_period;
+  int postfilter_period_old;
+  float postfilter_gain;
+  float postfilter_gain_old;
+  int postfilter_tapset;
+  int postfilter_tapset_old;
+  uint32_t rng;
+  int error;
+  int last_pitch_index;
+  int loss_duration;
+
+  float preemph_memD[2];
+  // per-channel synthesis history (DECODE_BUFFER_SIZE) + overlap slack
+  float decode_mem[2][DECODE_BUFFER_SIZE + OVERLAP];
+  float lpc_mem[2][24];  // PLC (unused for now)
+  float oldEBands[2 * NB_EBANDS];
+  float oldLogE[2 * NB_EBANDS];
+  float oldLogE2[2 * NB_EBANDS];
+  float backgroundLogE[2 * NB_EBANDS];
+
+  void init(int ch) {
+    memset(this, 0, sizeof(*this));
+    channels = stream_channels = ch;
+    for (int i = 0; i < 2 * NB_EBANDS; ++i)
+      oldLogE[i] = oldLogE2[i] = backgroundLogE[i] = -28.f;
+  }
+};
+
+struct BandTap {
+  int valid;
+  int start, end, shortBlocks, spread, dual_stereo, intensity;
+  int LM, codedBands, total_bits, balance, C, len;
+  int pulses[21], tf_res[21];
+  unsigned ec_offs, ec_rng, ec_val, ec_ext, ec_end_offs, ec_end_window;
+  int ec_nend_bits, ec_nbits_total, ec_rem;
+  unsigned char buf[4000];
+  float X[2 * 800];
+  unsigned char collapse[42];
+  unsigned seed_in, seed_out;
+  float oldBandE[42], oldLogE[42], oldLogE2[42];
+  int anti_collapse_on;
+  float X_post_ac[2 * 800];
+  unsigned rng_at_ac;
+  float freq_tap[960];
+  float out_syn_tap[1080];
+  float decode_mem_tap[2][2168];
+  float preemph_tap[2];
+};
+extern BandTap g_band_tap;
+
+// Decode one CELT frame (N = 120<<LM samples) into pcm (interleaved float,
+// [-1,1] scale). `dec` must be initialized over the frame payload.
+int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
+                      float* pcm, int frame_size, EntDec* dec);
+
+}  // namespace iamf_opus

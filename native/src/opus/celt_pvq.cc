@@ -1,0 +1,258 @@
+// PVQ codeword decode + spherical codebook handling (RFC 6716 §4.3.4):
+// combinatorial index -> pulse vector (CWRS), spreading rotation,
+// normalization, and the Hadamard/haar helpers used by band splitting.
+
+#include <cmath>
+#include <cstring>
+
+#include "celt.h"
+#include "celt_tables.h"
+
+namespace iamf_opus {
+
+// U(n,k): number of PVQ codewords counted by the CWRS recurrence
+// U(n,k) = U(n-1,k) + U(n,k-1) + U(n-1,k-1); symmetric in (n,k).
+// Table computed once; covers n,k needed at 48 kHz (N<=208, K<=128).
+constexpr int U_MAX_N = 212;
+constexpr int U_MAX_K = 132;
+
+static uint32_t* u_table() {
+  static uint32_t* tab = nullptr;
+  if (!tab) {
+    // u64 DP then saturate-store (all used values fit u32)
+    static uint64_t* dp = new uint64_t[(size_t)U_MAX_N * U_MAX_K];
+    for (int k = 0; k < U_MAX_K; ++k) dp[k] = 0;  // n = 0
+    for (int n = 1; n < U_MAX_N; ++n) {
+      dp[(size_t)n * U_MAX_K + 0] = 0;
+      dp[(size_t)n * U_MAX_K + 1] = 1;
+      for (int k = 2; k < U_MAX_K; ++k) {
+        uint64_t v = dp[(size_t)(n - 1) * U_MAX_K + k] +
+                     dp[(size_t)n * U_MAX_K + k - 1] +
+                     dp[(size_t)(n - 1) * U_MAX_K + k - 1];
+        if (v > 0xFFFFFFFFull) v = 0xFFFFFFFFull;
+        dp[(size_t)n * U_MAX_K + k] = v;
+      }
+    }
+    static uint32_t* t32 = new uint32_t[(size_t)U_MAX_N * U_MAX_K];
+    for (size_t i = 0; i < (size_t)U_MAX_N * U_MAX_K; ++i)
+      t32[i] = (uint32_t)dp[i];
+    delete[] dp;
+    tab = t32;
+  }
+  return tab;
+}
+
+static inline uint32_t U(int n, int k) {
+  // U(n,k) with U(n,0)=0, U(0,k)=0, U(n,1)=1; symmetric in (n,k) —
+  // canonicalize so the smaller argument indexes the k axis.
+  if (n < 0 || k < 0) return 0;
+  if (k > n) {
+    int t = n;
+    n = k;
+    k = t;
+  }
+  if (k >= U_MAX_K || n >= U_MAX_N) return 0xFFFFFFFFu;
+  return u_table()[(size_t)n * U_MAX_K + k];
+}
+
+static inline uint32_t V(int n, int k) { return U(n, k) + U(n, k + 1); }
+
+// cwrsi: PVQ index -> pulse vector (cwrs.c semantics)
+static void cwrsi(int n, int k, uint32_t i, int* y) {
+  while (n > 2) {
+    uint32_t p;
+    int s, k0;
+    if (k >= n) {  // lots of pulses: search within this dimension first
+      p = U(n, k + 1);
+      s = -(int)(i >= p);
+      i -= p & (uint32_t)s;
+      k0 = k;
+      uint32_t q = U(n, n);
+      if (q > i) {
+        k = n;
+        do {
+          p = U(--k, n);
+        } while (p > i);
+      } else {
+        for (p = U(n, k); p > i; p = U(n, k)) k--;
+      }
+      i -= p;
+      *y++ = (int)(((k0 - k + s) ^ s));
+    } else {  // lots of dimensions
+      uint32_t p0 = U(k, n);
+      uint32_t q = U(k + 1, n);
+      if (p0 <= i && i < q) {
+        i -= p0;
+        *y++ = 0;
+      } else {
+        s = -(int)(i >= q);
+        i -= q & (uint32_t)s;
+        k0 = k;
+        do {
+          p = U(--k, n);
+        } while (p > i);
+        i -= p;
+        *y++ = (int)(((k0 - k + s) ^ s));
+      }
+    }
+    n--;
+  }
+  // n == 2
+  {
+    uint32_t p = 2 * (uint32_t)k + 1;
+    int s = -(int)(i >= p);
+    i -= p & (uint32_t)s;
+    int k0 = k;
+    k = (int)((i + 1) >> 1);
+    if (k) i -= 2 * (uint32_t)k - 1;
+    *y++ = (int)(((k0 - k + s) ^ s));
+  }
+  // n == 1
+  {
+    int s = -(int)i;
+    *y++ = (int)(((k + s) ^ s));
+  }
+}
+
+void decode_pulses(int* y, int n, int k, EntDec& dec) {
+  cwrsi(n, k, dec.uint(V(n, k)), y);
+}
+
+static void exp_rotation1(float* X, int len, int stride, float c, float s) {
+  float ms = -s;
+  float* Xptr = X;
+  for (int i = 0; i < len - stride; ++i) {
+    float x1 = Xptr[0];
+    float x2 = Xptr[stride];
+    Xptr[stride] = c * x2 + s * x1;
+    *Xptr++ = c * x1 + ms * x2;
+  }
+  Xptr = X + (len - 2 * stride - 1);
+  for (int i = len - 2 * stride - 1; i >= 0; --i) {
+    float x1 = Xptr[0];
+    float x2 = Xptr[stride];
+    Xptr[stride] = c * x2 + s * x1;
+    *Xptr-- = c * x1 + ms * x2;
+  }
+}
+
+void exp_rotation(float* X, int len, int dir, int stride, int K, int spread) {
+  int stride2 = 0;
+  if (2 * K >= len || spread == SPREAD_NONE) return;
+  int factor = SPREAD_FACTOR[spread - 1];
+  float gain = (float)len / (float)(len + factor * K);
+  float theta = 0.5f * gain * gain;
+  float c = cosf(0.5f * (float)M_PI * theta);
+  float s = cosf(0.5f * (float)M_PI * (1.f - theta));  // sin(theta)
+  if (len >= 8 * stride) {
+    stride2 = 1;
+    while ((stride2 * stride2 + stride2) * stride + (stride >> 2) < len)
+      stride2++;
+  }
+  len /= stride;
+  for (int i = 0; i < stride; ++i) {
+    if (dir < 0) {
+      if (stride2) exp_rotation1(X + i * len, len, stride2, s, c);
+      exp_rotation1(X + i * len, len, 1, c, s);
+    } else {
+      exp_rotation1(X + i * len, len, 1, c, -s);
+      if (stride2) exp_rotation1(X + i * len, len, stride2, s, -c);
+    }
+  }
+}
+
+static unsigned extract_collapse_mask(const int* iy, int N, int B) {
+  if (B <= 1) return 1;
+  int N0 = N / B;
+  unsigned collapse_mask = 0;
+  for (int i = 0; i < B; ++i) {
+    unsigned tmp = 0;
+    for (int j = 0; j < N0; ++j) tmp |= (unsigned)(iy[i * N0 + j] != 0);
+    collapse_mask |= tmp << i;
+  }
+  return collapse_mask;
+}
+
+void renormalise_vector(float* X, int N, float gain) {
+  float E = 1e-15f;
+  for (int i = 0; i < N; ++i) E += X[i] * X[i];
+  float g = gain / sqrtf(E);
+  for (int i = 0; i < N; ++i) X[i] *= g;
+}
+
+unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
+                     float gain) {
+  int iy[256];
+  decode_pulses(iy, N, K, dec);
+  float Ryy = 0;
+  for (int j = 0; j < N; ++j) Ryy += (float)iy[j] * (float)iy[j];
+  float g = gain / sqrtf(Ryy);
+  for (int j = 0; j < N; ++j) X[j] = g * (float)iy[j];
+  exp_rotation(X, N, -1, B, K, spread);
+  return extract_collapse_mask(iy, N, B);
+}
+
+void haar1(float* X, int N0, int stride) {
+  N0 >>= 1;
+  for (int i = 0; i < stride; ++i) {
+    for (int j = 0; j < N0; ++j) {
+      float tmp1 = 0.70710678f * X[stride * 2 * j + i];
+      float tmp2 = 0.70710678f * X[stride * (2 * j + 1) + i];
+      X[stride * 2 * j + i] = tmp1 + tmp2;
+      X[stride * (2 * j + 1) + i] = tmp1 - tmp2;
+    }
+  }
+}
+
+void deinterleave_hadamard(float* X, int N0, int stride, int hadamard) {
+  float tmp[1024];
+  int N = N0 * stride;
+  if (hadamard) {
+    const int* ordery = ordery_table + stride - 2;
+    for (int i = 0; i < stride; ++i)
+      for (int j = 0; j < N0; ++j) tmp[ordery[i] * N0 + j] = X[j * stride + i];
+  } else {
+    for (int i = 0; i < stride; ++i)
+      for (int j = 0; j < N0; ++j) tmp[i * N0 + j] = X[j * stride + i];
+  }
+  memcpy(X, tmp, N * sizeof(float));
+}
+
+void interleave_hadamard(float* X, int N0, int stride, int hadamard) {
+  float tmp[1024];
+  int N = N0 * stride;
+  if (hadamard) {
+    const int* ordery = ordery_table + stride - 2;
+    for (int i = 0; i < stride; ++i)
+      for (int j = 0; j < N0; ++j) tmp[j * stride + i] = X[ordery[i] * N0 + j];
+  } else {
+    for (int i = 0; i < stride; ++i)
+      for (int j = 0; j < N0; ++j) tmp[j * stride + i] = X[i * N0 + j];
+  }
+  memcpy(X, tmp, N * sizeof(float));
+}
+
+void stereo_merge(float* X, float* Y, float mid, int N) {
+  float xp = 0, side = 0;
+  for (int j = 0; j < N; ++j) {
+    xp += Y[j] * X[j];
+    side += Y[j] * Y[j];
+  }
+  xp = mid * xp;
+  float El = mid * mid + side - 2 * xp;
+  float Er = mid * mid + side + 2 * xp;
+  if (Er < 6e-4f || El < 6e-4f) {
+    memcpy(Y, X, N * sizeof(float));
+    return;
+  }
+  float lgain = 1.f / sqrtf(El);
+  float rgain = 1.f / sqrtf(Er);
+  for (int j = 0; j < N; ++j) {
+    float l = mid * X[j];
+    float r = Y[j];
+    X[j] = lgain * (l - r);
+    Y[j] = rgain * (l + r);
+  }
+}
+
+}  // namespace iamf_opus

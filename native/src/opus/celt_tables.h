@@ -27,4 +27,8 @@ extern const int SPREAD_FACTOR[3];
 extern const unsigned char inv_table[128];
 extern const float gains[9];
 extern const signed char tf_select_table[32];
+extern const float eMeans[25];
+extern const float pred_coef[4];
+extern const float beta_coef[4];
+extern const int ordery_table[30];
 }  // namespace iamf_opus

@@ -1,0 +1,251 @@
+// Opus packet layer (RFC 6716 §3): TOC parse, frame packing codes 0-3,
+// and the decoder API exposed to Python via ctypes. CELT-mode packets are
+// fully decoded by the from-scratch CELT implementation; SILK/hybrid modes
+// return -10 (not yet implemented — LP layer scheduled next).
+//
+// Output matches the reference wrapper's convention: float samples obtained
+// by decoding to s16 (saturating round-to-nearest, opus float2int16) then
+// dividing by 32768 (IAMF_opus_decoder.c:130-136).
+
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+
+#include "celt.h"
+
+using namespace iamf_opus;
+
+namespace {
+
+struct OpusDec {
+  CeltDecoder celt;
+  int channels;
+  float softclip_mem[2];
+};
+
+// Soft-clipping to +/-1 applied before s16 conversion (RFC 6716 decoder
+// output stage; the quadratic x + a*x^2 segments between zero crossings,
+// with cross-frame continuation memory).
+void pcm_soft_clip(float* _x, int N, int C, float* declip_mem) {
+  if (C < 1 || N < 1) return;
+  for (int i = 0; i < N * C; ++i)
+    _x[i] = _x[i] > 2.f ? 2.f : (_x[i] < -2.f ? -2.f : _x[i]);
+  for (int c = 0; c < C; ++c) {
+    float* x = _x + c;
+    float a = declip_mem[c];
+    int i;
+    for (i = 0; i < N; ++i) {
+      if (x[i * C] * a >= 0) break;
+      x[i * C] = x[i * C] + a * x[i * C] * x[i * C];
+    }
+    int curr = 0;
+    float x0 = x[0];
+    while (1) {
+      for (i = curr; i < N; ++i) {
+        if (x[i * C] > 1 || x[i * C] < -1) break;
+      }
+      if (i == N) {
+        a = 0;
+        break;
+      }
+      int peak_pos = i;
+      int start = i, end = i;
+      float maxval = fabsf(x[i * C]);
+      while (start > 0 && x[i * C] * x[(start - 1) * C] >= 0) start--;
+      while (end < N && x[i * C] * x[end * C] >= 0) {
+        if (fabsf(x[end * C]) > maxval) {
+          maxval = fabsf(x[end * C]);
+          peak_pos = end;
+        }
+        end++;
+      }
+      int special = (start == 0 && x[i * C] * x[0] >= 0);
+      a = (maxval - 1) / (maxval * maxval);
+      a += a * 2.4e-7f;
+      if (x[i * C] > 0) a = -a;
+      for (i = start; i < end; ++i)
+        x[i * C] = x[i * C] + a * x[i * C] * x[i * C];
+
+      if (special && peak_pos >= 2) {
+        float offset = x0 - x[0];
+        float delta = offset / peak_pos;
+        for (i = curr; i < peak_pos; ++i) {
+          offset -= delta;
+          x[i * C] += offset;
+          x[i * C] =
+              x[i * C] > 1.f ? 1.f : (x[i * C] < -1.f ? -1.f : x[i * C]);
+        }
+      }
+      curr = end;
+      if (curr == N) break;
+    }
+    declip_mem[c] = a;
+  }
+}
+
+struct PacketInfo {
+  int mode;        // 0 silk, 1 hybrid, 2 celt
+  int frame_size;  // samples at 48 kHz
+  int stereo;
+  int nb_frames;
+  const unsigned char* frames[48];
+  int sizes[48];
+};
+
+int parse_frame_length(const unsigned char*& p, const unsigned char* end) {
+  if (p >= end) return -1;
+  int v = *p++;
+  if (v >= 252) {
+    if (p >= end) return -1;
+    v += 4 * (*p++);
+  }
+  return v;
+}
+
+int parse_packet(const unsigned char* data, int len, PacketInfo* pi) {
+  if (len < 1) return -1;
+  int toc = data[0];
+  int config = toc >> 3;
+  pi->stereo = (toc >> 2) & 1;
+  int code = toc & 3;
+
+  static const int celt_sizes[4] = {120, 240, 480, 960};
+  if (config >= 16) {
+    pi->mode = 2;
+    pi->frame_size = celt_sizes[config & 3];
+  } else if (config >= 12) {
+    pi->mode = 1;
+    pi->frame_size = (config & 1) ? 960 : 480;
+  } else {
+    pi->mode = 0;
+    static const int silk_sizes[4] = {480, 960, 1920, 2880};
+    pi->frame_size = silk_sizes[config % 4];
+  }
+
+  const unsigned char* p = data + 1;
+  const unsigned char* end = data + len;
+  if (code == 0) {
+    pi->nb_frames = 1;
+    pi->frames[0] = p;
+    pi->sizes[0] = (int)(end - p);
+  } else if (code == 1) {
+    int sz = (int)(end - p);
+    if (sz & 1) return -1;
+    pi->nb_frames = 2;
+    pi->frames[0] = p;
+    pi->sizes[0] = sz / 2;
+    pi->frames[1] = p + sz / 2;
+    pi->sizes[1] = sz / 2;
+  } else if (code == 2) {
+    int s0 = parse_frame_length(p, end);
+    if (s0 < 0 || p + s0 > end) return -1;
+    pi->nb_frames = 2;
+    pi->frames[0] = p;
+    pi->sizes[0] = s0;
+    pi->frames[1] = p + s0;
+    pi->sizes[1] = (int)(end - p - s0);
+  } else {
+    if (p >= end) return -1;
+    int count = *p++;
+    int vbr = count & 0x80;
+    int padding = count & 0x40;
+    int M = count & 0x3F;
+    if (M == 0 || M > 48) return -1;
+    int pad_len = 0;
+    if (padding) {
+      int pv;
+      do {
+        if (p >= end) return -1;
+        pv = *p++;
+        pad_len += pv == 255 ? 254 : pv;
+      } while (pv == 255);
+    }
+    const unsigned char* payload_end = end - pad_len;
+    pi->nb_frames = M;
+    if (vbr) {
+      int total = 0;
+      for (int i = 0; i < M - 1; ++i) {
+        int s = parse_frame_length(p, payload_end);
+        if (s < 0) return -1;
+        pi->sizes[i] = s;
+        total += s;
+      }
+      for (int i = 0; i < M - 1; ++i) {
+        pi->frames[i] = p;
+        p += pi->sizes[i];
+      }
+      if (p > payload_end) return -1;
+      pi->frames[M - 1] = p;
+      pi->sizes[M - 1] = (int)(payload_end - p);
+    } else {
+      int sz = (int)(payload_end - p);
+      if (sz % M) return -1;
+      for (int i = 0; i < M; ++i) {
+        pi->frames[i] = p + i * (sz / M);
+        pi->sizes[i] = sz / M;
+      }
+    }
+  }
+  return 0;
+}
+
+inline int16_t float2int16(float x) {
+  x *= 32768.f;
+  x = x > 32767.f ? 32767.f : x;
+  x = x < -32768.f ? -32768.f : x;
+  return (int16_t)lrintf(x);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* iamf_opus_decoder_create(int channels) {
+  OpusDec* d = new OpusDec();
+  d->channels = channels;
+  d->celt.init(channels);
+  return d;
+}
+
+void iamf_opus_decoder_destroy(void* p) { delete (OpusDec*)p; }
+
+// Decode one Opus packet. out: interleaved float [samples][channels].
+// Returns samples per channel, or negative error (-10: SILK mode).
+int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
+                           float* out, int max_samples) {
+  OpusDec* d = (OpusDec*)ptr;
+  PacketInfo pi;
+  if (parse_packet(data, len, &pi) < 0) return -4;
+  if (pi.mode != 2) return -10;  // SILK/hybrid pending
+  int pkt_ch = pi.stereo ? 2 : 1;
+  if (pkt_ch != d->channels) {
+    // stream channel count must match (IAMF opens per-substream decoders
+    // with the exact channel count)
+    d->celt.stream_channels = pkt_ch;
+  }
+  int total = 0;
+  for (int f = 0; f < pi.nb_frames; ++f) {
+    if (total + pi.frame_size > max_samples) return -2;
+    EntDec dec;
+    dec.init(pi.frames[f], (uint32_t)pi.sizes[f]);
+    int ret = celt_decode_frame(&d->celt, pi.frames[f], pi.sizes[f],
+                                out + (size_t)total * d->channels,
+                                pi.frame_size, &dec);
+    if (ret < 0) return ret;
+    total += ret;
+  }
+  // match reference: soft clip + s16 quantize + scale back
+  // (the reference wrapper uses the opus s16 decode API,
+  // IAMF_opus_decoder.c:130-136, which soft-clips in the float build)
+  if (!getenv("IAMF_NO_CLIP")) {
+    pcm_soft_clip(out, total, d->channels, d->softclip_mem);
+    for (int i = 0; i < total * d->channels; ++i)
+      out[i] = float2int16(out[i]) / 32768.f;
+  }
+  return total;
+}
+}
+
+extern "C" void iamf_soft_clip(float* x, int N, int C, float* mem) {
+  pcm_soft_clip(x, N, C, mem);
+}

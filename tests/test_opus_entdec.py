@@ -15,13 +15,20 @@ ORACLE = "/tmp/iamf_tpu_opusref/libopusref.so"
 
 def _build():
     os.makedirs(os.path.dirname(SHIM), exist_ok=True)
-    src = os.path.join(ROOT, "native", "src", "opus", "test_shim.cc")
-    if not os.path.exists(SHIM) or os.path.getmtime(SHIM) < max(
-        os.path.getmtime(src),
-        os.path.getmtime(os.path.join(ROOT, "native", "src", "opus", "entdec.h")),
-    ):
+    opus_dir = os.path.join(ROOT, "native", "src", "opus")
+    srcs = [
+        os.path.join(opus_dir, f)
+        for f in os.listdir(opus_dir)
+        if f.endswith(".cc")
+    ]
+    newest = max(
+        os.path.getmtime(s)
+        for s in srcs + [os.path.join(opus_dir, "entdec.h"),
+                         os.path.join(opus_dir, "celt.h")]
+    )
+    if not os.path.exists(SHIM) or os.path.getmtime(SHIM) < newest:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", SHIM, src],
+            ["g++", "-O2", "-fPIC", "-shared", "-o", SHIM, *srcs],
             check=True, capture_output=True,
         )
     if not os.path.exists(ORACLE):

@@ -345,6 +345,77 @@ def build_ambisonics_pcm_stream(
     return bytes(out), pcm
 
 
+def build_opus_layout_stream(
+    layout: int = 1,  # ChannelLayout.STEREO
+    n_frames: int = 10,
+    frame_size: int = 960,
+    rate: int = 48000,
+    amp: float = 0.4,
+    bitrate: int = 96000,
+    seed: int = 21,
+) -> tuple[bytes, np.ndarray]:
+    """Channel-based Opus stream (BASELINE config 1 class): substreams
+    encoded with libopus (forced CELT); pre-skip carried as trim_start."""
+    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
+    from opusenc import encode_opus_stream, opus_decoder_conf
+
+    nch = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
+    nsub, ncoupled = _layer_substreams(layout)
+    total = n_frames * frame_size
+    src = sine_pcm(total, nch, rate, amp=amp, bits=16, seed=seed)
+    pcm = src.astype(np.float32) / 32768.0
+
+    all_packets = []
+    pre_skip = 0
+    ch = 0
+    for s in range(nsub):
+        want = 2 if s < ncoupled else 1
+        pkts, look = encode_opus_stream(
+            pcm[:, ch : ch + want], frame_size=frame_size, bitrate=bitrate
+        )
+        all_packets.append(pkts)
+        pre_skip = look
+        ch += want
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    out += builder.codec_config_obu(
+        1, b"Opus", frame_size, 4, opus_decoder_conf(2, pre_skip, rate)
+    )
+    demix = None
+    if nch > 2:
+        demix = builder.ParamDefinition(
+            id=998, rate=rate, mode=0, duration=frame_size,
+            constant_segment_interval=frame_size,
+        )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=list(range(nsub)),
+        layers=[builder.LayerSpec(layout, nsub, ncoupled)],
+        demix_param=demix,
+        default_demix_mode=0,
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=0),
+                 builder.LayoutSpec(sound_system=1)],
+    )
+    for f in range(n_frames):
+        trim = pre_skip if f == 0 else 0
+        for s in range(nsub):
+            out += builder.audio_frame_obu(
+                s, all_packets[s][f], trim_start=trim
+            )
+    return bytes(out), src
+
+
 def build_flac_layout_stream(
     layout: int,
     n_frames: int = 8,
