@@ -95,6 +95,13 @@ class IAMFDecoder:
         self.pts = 0
         self.pts_time_base = 90000
         self.metadata = ExtraData()
+        # SR-style golden intermediate taps (reference IAMF_debug_sr.c):
+        # when enabled, per-element decoded/rendered and final mixed float
+        # frames accumulate for stage-by-stage comparison.
+        self.stream_log = False
+        self._logs_rec: dict = {}
+        self._logs_ren: dict = {}
+        self._logs_mix: list = []
 
     # ------------------------------------------------------------------
     # setters (IAMF_decoder.c:3948-4130)
@@ -133,6 +140,10 @@ class IAMFDecoder:
 
     def get_last_metadata(self) -> ExtraData:
         return self.metadata
+
+    def write_stream_logs(self, out_dir: str) -> list:
+        """Write SR-style per-stage wav taps (requires stream_log=True)."""
+        return _write_stream_logs(self, out_dir)
 
     # ------------------------------------------------------------------
     # configure
@@ -452,6 +463,10 @@ class IAMFDecoder:
             strim, etrim = dec.strim, dec.etrim
             try:
                 x = dec.decode()
+                if self.stream_log:
+                    self._logs_rec.setdefault(stream.element_id, []).append(
+                        np.asarray(x).copy()
+                    )
             except (ValueError, NotImplementedError):
                 dec.finish_frame()
                 stream.timestamp += dec.frame_size
@@ -471,6 +486,10 @@ class IAMFDecoder:
             if stream.trimming_start:
                 renderer.offset = 0
             y = renderer.render(x, ret)
+            if self.stream_log:
+                self._logs_ren.setdefault(stream.element_id, []).append(
+                    np.asarray(y).copy()
+                )
 
             if flushing:
                 etrim = dec.frame_size - max(dec.delay, 0)
@@ -547,6 +566,9 @@ class IAMFDecoder:
             if gain != 1.0:
                 mixed = mixed * np.float32(gain)
 
+        if self.stream_log:
+            self._logs_mix.append(np.asarray(mixed).copy())
+
         if self.limiter is not None:
             mixed = self.limiter.process(mixed)
 
@@ -576,6 +598,33 @@ class IAMFDecoder:
 
         stride = 12 if self.samsung_tv else 0
         return np.asarray(quantize_interleave(x, self.bit_depth, stride))
+
+
+def _write_stream_logs(dec: "IAMFDecoder", out_dir: str) -> list:
+    """Dump accumulated stage taps as float32 wavs (rec_/ren_/mix_ naming
+    mirroring iamf_rec/ren/mix_stream_log, IAMF_debug_sr.c:74-167)."""
+    import os
+
+    from .utils.wav import write_wav
+
+    written = []
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(name, frames):
+        if not frames:
+            return
+        x = np.concatenate(frames, axis=1)  # [ch, samples]
+        pcm = np.clip(np.rint(x.T * 32768.0), -32768, 32767).astype(np.int16)
+        path = os.path.join(out_dir, name)
+        write_wav(path, pcm, 48000, 16)
+        written.append(path)
+
+    for eid, frames in dec._logs_rec.items():
+        dump(f"rec_{eid}.wav", frames)
+    for eid, frames in dec._logs_ren.items():
+        dump(f"ren_{eid}.wav", frames)
+    dump("mix.wav", dec._logs_mix)
+    return written
 
 
 def _apply_gain(y: np.ndarray, unit: MixGainUnit) -> np.ndarray:

@@ -113,6 +113,10 @@ def main(argv=None) -> int:
     ap.add_argument("-m", action="store_true", help="write .met sidecar")
     ap.add_argument("-disable_limiter", action="store_true")
     ap.add_argument("-tv", action="store_true", help="SAMSUNG_TV compat mode")
+    ap.add_argument("-v", metavar="FILE", default=None,
+                    help="write OBU vlog (SUPPORT_VERIFIER vlogging)")
+    ap.add_argument("-sr", metavar="DIR", default=None,
+                    help="dump per-stage wavs (IAMF_debug_sr taps)")
     args = ap.parse_args(argv)
 
     dec = IAMFDecoder()
@@ -133,6 +137,20 @@ def main(argv=None) -> int:
         dec.set_mix_presentation_id(args.mp)
     if args.disable_limiter:
         dec.set_peak_limiter_enable(False)
+    if args.sr is not None:
+        dec.stream_log = True
+
+    if args.v is not None:
+        if args.i == 1:
+            print("-v requires bitstream input (-i0)", file=sys.stderr)
+            return 1
+        from .vlogger import vlog_stream
+
+        with open(args.input, "rb") as f:
+            raw = f.read()
+        with open(args.v, "w") as out:
+            n = vlog_stream(raw, out)
+        print(f"vlogged {n} OBUs -> {args.v}")
 
     try:
         if args.i == 1:
@@ -155,6 +173,10 @@ def main(argv=None) -> int:
         out_path = f"{prefix}_{stem}.wav"
         write_wav(out_path, pcm, args.r, args.d)
         print(f"wrote {out_path}")
+
+    if args.sr is not None:
+        files = dec.write_stream_logs(args.sr)
+        print(f"wrote {len(files)} stage wavs -> {args.sr}")
 
     if args.m:
         md = dec.get_last_metadata()

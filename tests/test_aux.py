@@ -1,0 +1,110 @@
+"""Auxiliary subsystem tests: reconfigure mid-stream, vlogging, stream
+taps, metadata, logging (SURVEY §5)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import vectors
+from test_e2e_pcm import assert_bitexact, ref_decode
+from iamf_tpu.api import IAMFDecoder, InvalidState
+
+
+def test_reconfigure_mid_stream(tmp_path):
+    """A non-redundant sequence header mid-stream forces reconfigure
+    (IAMF_decoder.c:2918-2921, player re-configure loop iamfplayer.c:623)."""
+    s1, src1 = vectors.build_pcm_stereo_stream(n_frames=4)
+    s2, src2 = vectors.build_pcm_51_stream(n_frames=4)
+    stream = s1 + s2
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+
+    dec = IAMFDecoder()
+    dec.set_sound_system(0)
+    pos = dec.configure(stream)
+    chunks = []
+    while pos < len(stream):
+        try:
+            consumed, pcm = dec.decode(stream[pos:])
+        except InvalidState:
+            dec = IAMFDecoder()
+            dec.set_sound_system(0)
+            pos += dec.configure(stream[pos:])
+            continue
+        if consumed == 0 and pcm is None:
+            break
+        pos += consumed
+        if pcm is not None and len(pcm):
+            chunks.append(pcm)
+    _, pcm = dec.decode(None)
+    if pcm is not None and len(pcm):
+        chunks.append(pcm)
+    ours = np.concatenate(chunks, axis=0)
+    # reference also decodes both segments back to back
+    assert len(ours) >= len(src1), (len(ours), len(src1))
+    n = min(len(ours), len(ref))
+    diff = np.abs(ours[:n].astype(np.int64) - ref[:n].astype(np.int64))
+    assert diff.max() == 0
+
+
+def test_vlogger_yaml():
+    from iamf_tpu.tools.vlogger import vlog_stream
+
+    stream, _ = vectors.build_scalable_pcm_stream(n_frames=2)
+    out = io.StringIO()
+    n = vlog_stream(stream, out)
+    text = out.getvalue()
+    assert n > 5
+    assert "ia_sequence_header_obu" in text
+    assert "codec_config_obu" in text
+    assert "audio_element_obu" in text
+    assert "mix_presentation_obu" in text
+    assert "audio_frame_obu" in text
+    assert "scalable_channel_layout_config" in text
+
+
+def test_stream_taps(tmp_path):
+    stream, _ = vectors.build_pcm_51_stream(n_frames=3)
+    dec = IAMFDecoder()
+    dec.set_sound_system(0)
+    dec.stream_log = True
+    pos = dec.configure(stream)
+    while pos < len(stream):
+        consumed, _pcm = dec.decode(stream[pos:])
+        if consumed == 0:
+            break
+        pos += consumed
+    files = dec.write_stream_logs(str(tmp_path))
+    names = sorted(os.path.basename(f) for f in files)
+    assert "mix.wav" in names
+    assert any(n.startswith("rec_") for n in names)
+    assert any(n.startswith("ren_") for n in names)
+
+
+def test_metadata_extradata():
+    stream, _ = vectors.build_scalable_pcm_stream(
+        n_frames=3, demix_modes=[4, 4, 4]
+    )
+    dec = IAMFDecoder()
+    dec.set_sound_system(1)
+    pos = dec.configure(stream)
+    while pos < len(stream):
+        consumed, _pcm = dec.decode(stream[pos:])
+        if consumed == 0:
+            break
+        pos += consumed
+    md = dec.get_last_metadata()
+    assert md.output_sound_system == 1
+    assert md.num_parameters == 1  # demixing parameter present
+    assert md.dmixp_mode == 4
+
+
+def test_stage_timer():
+    from iamf_tpu.utils.logging import StageTimer
+
+    t = StageTimer()
+    t.add("decode", 0.5)
+    t.add("render", 0.2)
+    rep = t.report(10.0)
+    assert "decode" in rep and "TOTAL" in rep and "x20" in rep
