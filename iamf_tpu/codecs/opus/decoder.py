@@ -58,7 +58,30 @@ def _load_native():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    _lib.iamf_opus_decode_spectrum.restype = ctypes.c_int
+    _lib.iamf_opus_decode_spectrum.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(SpectrumMeta),
+    ]
     return _lib
+
+
+class SpectrumMeta(ctypes.Structure):
+    """Mirror of SpectrumMeta in native/src/opus/opus_dec.cc."""
+
+    _fields_ = [
+        ("samples", ctypes.c_int),
+        ("transient", ctypes.c_int),
+        ("pf_period_old", ctypes.c_int),
+        ("pf_gain_old", ctypes.c_float),
+        ("pf_tapset_old", ctypes.c_int),
+        ("pf_period", ctypes.c_int),
+        ("pf_gain", ctypes.c_float),
+        ("pf_tapset", ctypes.c_int),
+        ("pf_period_new", ctypes.c_int),
+        ("pf_gain_new", ctypes.c_float),
+        ("pf_tapset_new", ctypes.c_int),
+    ]
 
 
 @register(Codec.OPUS)
@@ -102,3 +125,109 @@ class OpusDecoder(CodecDecoder):
             outs.append(buf[: r * ch].reshape(r, ch).T)  # planar
             samples = r
         return np.concatenate(outs, axis=0).astype(np.float32)
+
+    def decode_spectrum_batch(self, frames):
+        """Entropy-decode a batch of frames to spectra for the device
+        synthesis path (codecs/opus/tpu_synth.py).
+
+        frames: [B] lists of per-substream packets. Returns a dict of numpy
+        arrays shaped for tpu_synth.SynthParams ([B, L, ...], L = total
+        planar channels, coupled substreams first), plus `postfilter` (bool)
+        and `min_period` for the static chunk pick.
+        """
+        from .tpu_synth import MINPERIOD
+
+        lib = _load_native()
+        gains_tab = _gains_table()
+        B = len(frames)
+        L = sum(ch for _, ch in self._decoders)
+        freq = np.zeros((B, L, 960), np.float32)
+        transient = np.zeros((B, L), bool)
+        t_cur = np.full((B, L), MINPERIOD, np.int32)
+        t_new = np.full((B, L), MINPERIOD, np.int32)
+        g_cur = np.zeros((B, L, 3), np.float32)
+        g_new = np.zeros((B, L, 3), np.float32)
+        meta = SpectrumMeta()
+        fbuf = np.zeros(2 * 960, np.float32)
+        for b, packets in enumerate(frames):
+            lane = 0
+            for i, (ptr, ch) in enumerate(self._decoders):
+                pkt = packets[i]
+                if pkt is None:
+                    raise ValueError("missing opus sub packet")
+                r = lib.iamf_opus_decode_spectrum(
+                    ptr, bytes(pkt), len(pkt),
+                    fbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.byref(meta),
+                )
+                if r < 0:
+                    raise ValueError(f"opus spectrum decode failed ({r})")
+                sl = slice(lane, lane + ch)
+                freq[b, sl] = fbuf[: ch * 960].reshape(ch, 960)
+                transient[b, sl] = bool(meta.transient)
+                pc = max(meta.pf_period, MINPERIOD)
+                po = max(meta.pf_period_old, MINPERIOD)
+                # LM=3 frames roll all postfilter params forward each frame,
+                # so the frame-start "old" and "current" sets always agree
+                # (celt_decoder.c rollover); the device comb relies on it.
+                assert po == pc and meta.pf_gain_old == meta.pf_gain, (
+                    "postfilter old/cur mismatch (non-LM3 stream?)")
+                t_cur[b, sl] = pc
+                t_new[b, sl] = max(meta.pf_period_new, MINPERIOD)
+                g_cur[b, sl] = (np.float32(meta.pf_gain)
+                                * gains_tab[meta.pf_tapset])
+                g_new[b, sl] = (np.float32(meta.pf_gain_new)
+                                * gains_tab[meta.pf_tapset_new])
+                lane += ch
+        active = np.concatenate(
+            [np.where(np.any(g_cur != 0, -1), t_cur, 1 << 30).ravel(),
+             np.where(np.any(g_new != 0, -1), t_new, 1 << 30).ravel()])
+        min_period = int(active.min()) if active.size else 1 << 30
+        postfilter = min_period < (1 << 30)
+        return dict(freq=freq, transient=transient, t_cur=t_cur,
+                    t_new=t_new, g_cur=g_cur, g_new=g_new,
+                    postfilter=postfilter,
+                    min_period=min_period if postfilter else 1 << 30)
+
+
+_GAINS = None
+
+
+def _gains_table():
+    """Postfilter tap gains per tapset (celt.c `gains`), rows of 3."""
+    global _GAINS
+    if _GAINS is None:
+        z = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "data", "opus_tables.npz"))
+        _GAINS = np.asarray(z["gains"], np.float32).reshape(3, 3)
+    return _GAINS
+
+
+class TPUOpusStream:
+    """Opus multistream decode with device-side synthesis: host entropy
+    layers feed spectra to one batched TPU dispatch per frame block."""
+
+    def __init__(self, decoder_conf, streams, coupled_streams, frame_size):
+        self.dec = OpusDecoder(decoder_conf, streams, coupled_streams,
+                               frame_size)
+        from . import tpu_synth
+
+        self._synth = tpu_synth
+        self.lanes = sum(ch for _, ch in self.dec._decoders)
+        self.carry = tpu_synth.init_carry(self.lanes)
+
+    def decode_frames(self, frames) -> np.ndarray:
+        """frames: [B] lists of per-substream packets -> [B, L, 960] f32."""
+        import jax.numpy as jnp
+
+        if not frames:
+            return np.zeros((0, self.lanes, 960), np.float32)
+        d = self.dec.decode_spectrum_batch(frames)
+        params = self._synth.SynthParams(
+            freq=jnp.asarray(d["freq"]), transient=jnp.asarray(d["transient"]),
+            t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
+            g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
+        chunk = self._synth.pick_chunk(d["min_period"])
+        pcm, self.carry = self._synth.synthesize(
+            params, self.carry, chunk=chunk, postfilter=d["postfilter"])
+        return np.asarray(pcm)

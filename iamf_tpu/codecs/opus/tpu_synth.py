@@ -1,0 +1,237 @@
+"""Device-side CELT synthesis: the time-domain half of the Opus decoder.
+
+The host native decoder (native/src/opus/) runs the serial bitstream layers
+(range coding, PVQ, allocation, energy) and exports denormalised spectra via
+``iamf_opus_decode_spectrum``; this module evaluates everything after that on
+the TPU, batched over frames x channels:
+
+- IMDCT (reference: celt/mdct.c clt_mdct_backward): one big MXU matmul
+  ``t = freq @ basis^T`` over all frames at once ([B,L,960] x [960,960]);
+  transient frames use the 120-point basis batched over 8 short blocks.
+- TDAC overlap (celt/mdct.c window loop): the mirror only mixes each
+  block's first 60 raw samples with the previous block's last 60 raw
+  samples, so the whole frame chain is a pure shift along the frame axis —
+  no scan needed.
+- Post-filter (celt/celt.c comb_filter, celt_decoder.c:1055-1073): an IIR
+  comb with lag >= 15. Processed in causal chunks of ``chunk`` samples
+  (chunk <= min_period-2 guarantees every read lands in already-final
+  output), each chunk fully vectorized over lanes. Zero-gain batches skip
+  the filter entirely (static fast path).
+- De-emphasis (celt/celt_decoder.c deemphasis, coef 0.85): first-order
+  linear recurrence evaluated as an associative scan (log-depth on device).
+- s16 conversion (opus float2int16): clip + round-half-even.
+
+Parity: bit-exact with the host synthesis except (a) de-emphasis uses an
+associative scan whose float32 rounding can differ from the sequential host
+loop by <=1 LSB after s16 quantization, and (b) opus_pcm_soft_clip is the
+identity for in-range signals and is not replicated (|x|>1 inputs hit the
+downstream IAMF limiter anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                     "opus_tables.npz")
+
+HIST = 1032  # > COMBFILTER_MAXPERIOD (1024) + 2, comb look-back window
+MINPERIOD = 15
+FRAME = 960
+
+
+@functools.lru_cache(maxsize=None)
+def _tables():
+    z = np.load(_DATA)
+    return np.asarray(z["window120"], np.float32), np.asarray(
+        z["gains"], np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _basis(n2: int) -> np.ndarray:
+    """IMDCT basis: t[m] = sum_k X[k] cos(2pi/N (m+N/2+.5)(k+.5))."""
+    n = 2 * n2
+    m = np.arange(n2)[:, None]
+    k = np.arange(n2)[None, :]
+    ang = 2.0 * np.pi / n * (m + n / 2.0 + 0.5) * (k + 0.5)
+    return np.cos(ang).astype(np.float32)
+
+
+class SynthParams(NamedTuple):
+    """Per-frame synthesis inputs, [B] frames x [L] channel lanes."""
+
+    freq: jax.Array       # [B, L, 960] denormalised spectra (32768 scale)
+    transient: jax.Array  # [B, L] bool
+    t_cur: jax.Array      # [B, L] int32 comb period at frame start (>=15)
+    t_new: jax.Array      # [B, L] int32 comb period decoded this frame
+    g_cur: jax.Array      # [B, L, 3] gain*taps at frame start
+    g_new: jax.Array      # [B, L, 3] gain*taps decoded this frame
+
+
+class SynthCarry(NamedTuple):
+    tail: jax.Array   # [L, 60] previous block's raw MDCT tail
+    hist: jax.Array   # [L, HIST] post-filtered output history
+    demem: jax.Array  # [L] de-emphasis memory
+
+
+def init_carry(lanes: int) -> SynthCarry:
+    return SynthCarry(
+        tail=jnp.zeros((lanes, 60), jnp.float32),
+        hist=jnp.zeros((lanes, HIST), jnp.float32),
+        demem=jnp.zeros((lanes,), jnp.float32),
+    )
+
+
+def _imdct_overlap(freq, transient, tail0):
+    """All-frames IMDCT + TDAC overlap. Returns (y [B,L,960], tail [L,60])."""
+    B, L, _ = freq.shape
+    w = jnp.asarray(_tables()[0])
+    b960 = jnp.asarray(_basis(960))
+    b120 = jnp.asarray(_basis(120))
+
+    t_long = jnp.einsum("blk,mk->blm", freq, b960,
+                        preferred_element_type=jnp.float32)
+    # short blocks are interleaved with stride 8: block j holds freq[j+8k]
+    fs = freq.reshape(B, L, 120, 8).transpose(0, 1, 3, 2)
+    t_short = jnp.einsum("bljk,mk->bljm", fs, b120,
+                         preferred_element_type=jnp.float32)
+
+    tails_out = jnp.where(transient[..., None], t_short[:, :, 7, 60:],
+                          t_long[..., 900:])
+    tail_in = jnp.concatenate([tail0[None], tails_out[:-1]], axis=0)
+
+    i = jnp.arange(60)
+    wl, wr = w[119 - i], w[i]  # window halves for the mirror
+
+    # long: y[0:60)=mirror, y[60:120)=mirror reversed, y[120:960)=raw
+    th_l = t_long[..., :60][..., ::-1]  # t[59-i]
+    y0_l = wl * tail_in - wr * th_l
+    y1_l = (wl * th_l + wr * tail_in)[..., ::-1]
+    y_long = jnp.concatenate([y0_l, y1_l, t_long[..., 60:900]], axis=-1)
+
+    # short: 8 blocks, block j mirrors against block j-1's raw tail
+    pt = jnp.concatenate([tail_in[:, :, None, :], t_short[:, :, :-1, 60:]],
+                         axis=2)  # [B,L,8,60]
+    th_s = t_short[..., :60][..., ::-1]
+    y0_s = wl * pt - wr * th_s
+    y1_s = (wl * th_s + wr * pt)[..., ::-1]
+    y_short = jnp.concatenate([y0_s, y1_s], axis=-1).reshape(B, L, FRAME)
+
+    y = jnp.where(transient[..., None], y_short, y_long)
+    return y, tails_out[-1]
+
+
+def _comb_coeffs(p: SynthParams):
+    """Per-sample comb lags/coefficients, [B,L,960,...] (celt.c comb_filter
+    with the celt_decoder.c two-pass schedule for LM>0 frames)."""
+    w = jnp.asarray(_tables()[0])
+    B, L, _ = p.freq.shape
+    pf = jnp.arange(FRAME)
+    in_a = pf < 120            # pass A: params from last frame, no crossfade
+    in_tr = (pf >= 120) & (pf < 240)  # pass B crossfade region
+    eq = (p.t_cur == p.t_new) & jnp.all(p.g_cur == p.g_new, axis=-1)
+
+    f = w * w  # crossfade factor over the transition window
+    f = jnp.concatenate([jnp.zeros(120), f, jnp.zeros(720)])[None, None, :]
+    gc = p.g_cur[:, :, None, :]
+    gn = p.g_new[:, :, None, :]
+    trans = (in_tr & ~eq[..., None])[..., None]
+    c1 = jnp.where(in_a[..., None], gc,
+                   jnp.where(trans, (1.0 - f)[..., None] * gc, gn))
+    c2 = jnp.where(trans, f[..., None] * gn, jnp.zeros_like(gn))
+    lag1 = jnp.where(in_a, p.t_cur[..., None],
+                     jnp.where(in_tr & ~eq[..., None], p.t_cur[..., None],
+                               p.t_new[..., None]))
+    lag2 = jnp.where(in_tr & ~eq[..., None], p.t_new[..., None], lag1)
+    return c1, c2, lag1, lag2
+
+
+def _comb_filter(y, hist, c1, c2, lag1, lag2, chunk: int):
+    """Chunked causal comb over the flattened signal. y:[L,T], hist:[L,HIST].
+    chunk <= min(active lag)-2 so every read is from finalized output."""
+    L, T = y.shape
+    pad = (-T) % chunk
+    if pad:
+        zpadc = lambda a: jnp.pad(a, [(0, 0), (0, pad)] + [(0, 0)] *
+                                  (a.ndim - 2))
+        y, c1, c2 = jnp.pad(y, ((0, 0), (0, pad))), zpadc(c1), zpadc(c2)
+        lag1 = jnp.pad(lag1, ((0, 0), (0, pad)), constant_values=FRAME)
+        lag2 = jnp.pad(lag2, ((0, 0), (0, pad)), constant_values=FRAME)
+    buf = jnp.concatenate([hist, y], axis=1)
+    nchunks = y.shape[1] // chunk
+
+    def body(s, buf):
+        pos = s * chunk
+        idx = HIST + pos + jnp.arange(chunk)[None, :]
+        l1 = jax.lax.dynamic_slice(lag1, (0, pos), (L, chunk))
+        l2 = jax.lax.dynamic_slice(lag2, (0, pos), (L, chunk))
+        k1 = jax.lax.dynamic_slice(c1, (0, pos, 0), (L, chunk, 3))
+        k2 = jax.lax.dynamic_slice(c2, (0, pos, 0), (L, chunk, 3))
+        xi = jax.lax.dynamic_slice(buf, (0, HIST + pos), (L, chunk))
+        g = lambda lag, d: jnp.take_along_axis(buf, idx - lag + d, axis=1)
+        # term order matches comb_filter's summation exactly
+        out = (xi + k1[..., 0] * g(l1, 0)
+               + k1[..., 1] * (g(l1, 1) + g(l1, -1))
+               + k1[..., 2] * (g(l1, 2) + g(l1, -2))
+               + k2[..., 0] * g(l2, 0)
+               + k2[..., 1] * (g(l2, 1) + g(l2, -1))
+               + k2[..., 2] * (g(l2, 2) + g(l2, -2)))
+        return jax.lax.dynamic_update_slice(buf, out, (0, HIST + pos))
+
+    buf = jax.lax.fori_loop(0, nchunks, body, buf)
+    return buf[:, HIST:HIST + T]
+
+
+def _deemphasis(z, m0):
+    """out[j] = z[j] + 1e-30 + m[j-1]; m[j] = 0.85*out[j] (assoc scan)."""
+    b = 0.85 * (z + 1e-30)
+    b = b.at[:, 0].add(0.85 * m0)
+    a = jnp.full_like(b, 0.85)
+
+    def op(x, yv):
+        return (x[0] * yv[0], x[1] * yv[0] + yv[1])
+
+    _, m = jax.lax.associative_scan(op, (a, b), axis=1)
+    m_prev = jnp.concatenate([m0[:, None], m[:, :-1]], axis=1)
+    out = z + 1e-30 + m_prev
+    return out, m[:, -1]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "postfilter"))
+def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104,
+               postfilter: bool = True):
+    """Full device synthesis. Returns (pcm [B,L,960] float in [-1,1] at s16
+    granularity, new carry)."""
+    B, L, _ = p.freq.shape
+    y, tail = _imdct_overlap(p.freq, p.transient, carry.tail)
+    sig = y.transpose(1, 0, 2).reshape(L, B * FRAME)
+    if postfilter:
+        c1, c2, lag1, lag2 = _comb_coeffs(p)
+        flat = lambda a: a.transpose(1, 0, 2, *range(3, a.ndim)).reshape(
+            (L, B * FRAME) + a.shape[3:])
+        z = _comb_filter(sig, carry.hist, flat(c1), flat(c2),
+                         flat(lag1), flat(lag2), chunk)
+    else:
+        z = sig
+    hist = z[:, -HIST:] if B * FRAME >= HIST else jnp.concatenate(
+        [carry.hist, z], axis=1)[:, -HIST:]
+    out, demem = _deemphasis(z, carry.demem)
+    s16 = jnp.rint(jnp.clip(out, -32768.0, 32767.0))
+    pcm = (s16 * (1.0 / 32768.0)).reshape(L, B, FRAME).transpose(1, 0, 2)
+    return pcm, SynthCarry(tail=tail, hist=hist, demem=demem)
+
+
+def pick_chunk(min_period: int) -> int:
+    """Largest power-of-two-ish chunk <= min_period-2 (static, bucketed to
+    bound recompiles)."""
+    lim = max(MINPERIOD, int(min_period)) - 2
+    for c in (832, 416, 208, 104, 52, 26, 13):
+        if c <= lim:
+            return c
+    return 13

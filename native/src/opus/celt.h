@@ -169,4 +169,11 @@ extern BandTap g_band_tap;
 int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
                       float* pcm, int frame_size, EntDec* dec);
 
+// Entropy/PVQ/denormalise only: export the spectrum ([CC][960]) for the
+// device-side synthesis pipeline; updates all decoder state like
+// celt_decode_frame but performs no time-domain synthesis.
+int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
+                         float* freq_out, int frame_size, EntDec* dec,
+                         int* transient_out);
+
 }  // namespace iamf_opus

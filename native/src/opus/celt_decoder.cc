@@ -77,8 +77,16 @@ static void deemphasis(float* const* in, float* pcm, int N, int C, float coef0,
   }
 }
 
-int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
-                      float* pcm, int frame_size, EntDec* dec) {
+// When freq_export != nullptr the synthesis stages (IMDCT, overlap,
+// post-filter, de-emphasis) are skipped and the denormalised spectrum is
+// written to freq_export[CC][960] instead — the TPU pipeline evaluates them
+// as batched matmuls + scans (codecs/opus/tpu_synth.py). All host-side state
+// (energy prediction, post-filter param rollover, LCG reseed) is updated
+// identically so the two paths can't diverge at the bitstream layer.
+static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
+                                int len, float* pcm, int frame_size,
+                                EntDec* dec, float* freq_export,
+                                int* transient_out) {
   const short* eBands = mode_eBands();
   int C = st->stream_channels;
   int CC = st->channels;
@@ -263,6 +271,54 @@ int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
   if (silence) {
     for (int i = 0; i < C * NB_EBANDS; ++i) oldBandE[i] = -28.f;
   }
+  if (transient_out) *transient_out = isTransient;
+
+  if (freq_export) {
+    // spectrum-export path: denormalise only, leave time-domain synthesis
+    // to the device; fall through to the shared state bookkeeping below
+    for (int c = 0; c < CC; ++c) {
+      const float* Xc = c == 0 || !Y ? X : Y;
+      denormalise_bands(Xc, freq_export + c * 960, oldBandE + c * NB_EBANDS,
+                        start, effEnd, M, silence);
+    }
+    // post-filter param rollover, exactly as the synthesis path below
+    st->postfilter_period = imax(st->postfilter_period, COMBFILTER_MINPERIOD);
+    st->postfilter_period_old =
+        imax(st->postfilter_period_old, COMBFILTER_MINPERIOD);
+    st->postfilter_period_old = st->postfilter_period;
+    st->postfilter_gain_old = st->postfilter_gain;
+    st->postfilter_tapset_old = st->postfilter_tapset;
+    st->postfilter_period = postfilter_pitch;
+    st->postfilter_gain = postfilter_gain;
+    st->postfilter_tapset = postfilter_tapset;
+    if (LM != 0) {
+      st->postfilter_period_old = st->postfilter_period;
+      st->postfilter_gain_old = st->postfilter_gain;
+      st->postfilter_tapset_old = st->postfilter_tapset;
+    }
+    if (C == 1)
+      memcpy(&oldBandE[NB_EBANDS], oldBandE, NB_EBANDS * sizeof(float));
+    if (!isTransient) {
+      memcpy(oldLogE2, oldLogE, 2 * NB_EBANDS * sizeof(float));
+      memcpy(oldLogE, oldBandE, 2 * NB_EBANDS * sizeof(float));
+    } else {
+      for (int i = 0; i < 2 * NB_EBANDS; ++i)
+        oldLogE[i] = fminf(oldLogE[i], oldBandE[i]);
+    }
+    for (int c = 0; c < 2; ++c) {
+      for (int i = 0; i < start; ++i) {
+        oldBandE[c * NB_EBANDS + i] = 0;
+        oldLogE[c * NB_EBANDS + i] = oldLogE2[c * NB_EBANDS + i] = -28.f;
+      }
+      for (int i = end; i < NB_EBANDS; ++i) {
+        oldBandE[c * NB_EBANDS + i] = 0;
+        oldLogE[c * NB_EBANDS + i] = oldLogE2[c * NB_EBANDS + i] = -28.f;
+      }
+    }
+    st->loss_duration = 0;
+    st->rng = dec->rng;
+    return N;
+  }
 
   // synthesis into decode memory (history slides left by N)
   float* out_syn[2];
@@ -362,6 +418,19 @@ int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
   // state — deterministic across encoder/decoder
   st->rng = dec->rng;
   return N;
+}
+
+int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
+                      float* pcm, int frame_size, EntDec* dec) {
+  return celt_decode_frame_ex(st, data, len, pcm, frame_size, dec, nullptr,
+                              nullptr);
+}
+
+int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
+                         float* freq_out, int frame_size, EntDec* dec,
+                         int* transient_out) {
+  return celt_decode_frame_ex(st, data, len, nullptr, frame_size, dec,
+                              freq_out, transient_out);
 }
 
 }  // namespace iamf_opus

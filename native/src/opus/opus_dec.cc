@@ -249,3 +249,53 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
 extern "C" void iamf_soft_clip(float* x, int N, int C, float* mem) {
   pcm_soft_clip(x, N, C, mem);
 }
+
+// ---- spectrum-export API for the TPU synthesis path --------------------
+// Decodes the entropy/PVQ layers on the host and exports the denormalised
+// spectrum (freq domain, [C][960]) plus per-frame synthesis metadata; the
+// TPU pipeline performs IMDCT (MXU matmul) + overlap + post-filter +
+// de-emphasis. States that live in the bitstream layer (energy prediction,
+// LCG seed, range-coder reseed) stay in the host decoder.
+
+extern "C" {
+
+struct SpectrumMeta {
+  int samples;        // frame size (0 on error)
+  int transient;      // shortBlocks != 0
+  int pf_period_old;  // post-filter params for the frame start
+  float pf_gain_old;
+  int pf_tapset_old;
+  int pf_period;      // params decoded last frame (applies to first 120)
+  float pf_gain;
+  int pf_tapset;
+  int pf_period_new;  // params decoded this frame (applies after 120)
+  float pf_gain_new;
+  int pf_tapset_new;
+};
+
+int iamf_opus_decode_spectrum(void* ptr, const unsigned char* data, int len,
+                              float* freq_out, SpectrumMeta* meta) {
+  OpusDec* d = (OpusDec*)ptr;
+  PacketInfo pi;
+  if (parse_packet(data, len, &pi) < 0) return -4;
+  if (pi.mode != 2 || pi.nb_frames != 1 || pi.frame_size != 960) return -10;
+  EntDec dec;
+  dec.init(pi.frames[0], (uint32_t)pi.sizes[0]);
+  meta->pf_period_old = d->celt.postfilter_period_old;
+  meta->pf_gain_old = d->celt.postfilter_gain_old;
+  meta->pf_tapset_old = d->celt.postfilter_tapset_old;
+  meta->pf_period = d->celt.postfilter_period;
+  meta->pf_gain = d->celt.postfilter_gain;
+  meta->pf_tapset = d->celt.postfilter_tapset;
+  int transient = 0;
+  int ret = celt_decode_spectrum(&d->celt, pi.frames[0], pi.sizes[0],
+                                 freq_out, 960, &dec, &transient);
+  if (ret < 0) return ret;
+  meta->samples = ret;
+  meta->transient = transient;
+  meta->pf_period_new = d->celt.postfilter_period;
+  meta->pf_gain_new = d->celt.postfilter_gain;
+  meta->pf_tapset_new = d->celt.postfilter_tapset;
+  return ret;
+}
+}
