@@ -28,12 +28,20 @@ import numpy as np
 # compile indefinitely. Warmup pays the compile cost instead.
 
 
-def build_stream(seconds: float = 30.0):
+def build_stream(seconds: float = 30.0, content: str = "pcm"):
     from iamf_tpu.constants import ChannelLayout
     import vectors
 
     frame_size = 960
     n_frames = int(seconds * 48000 / frame_size)
+    if content == "opus":
+        # BASELINE config-1 class content on the 7.1.4 headline layout:
+        # libopus-encoded substreams, decoded with the host entropy layers
+        # + device CELT synthesis (codecs/opus/tpu_synth.py)
+        return vectors.build_opus_layout_stream(
+            ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size,
+            amp=0.4
+        )
     return vectors.build_pcm_layout_stream(
         ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size, amp=0.5
     )
@@ -43,7 +51,12 @@ def main() -> None:
     from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
 
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
-    stream, _src = build_stream(seconds)
+    content = os.environ.get("BENCH_CONTENT", "pcm")
+    if "--content" in sys.argv:
+        content = sys.argv[sys.argv.index("--content") + 1]
+    if "--seconds" in sys.argv:
+        seconds = float(sys.argv[sys.argv.index("--seconds") + 1])
+    stream, _src = build_stream(seconds, content)
 
     sound_system = 9  # J (4+7+0)
     # warmup: compile the pipeline + first device readback
@@ -85,7 +98,8 @@ def main() -> None:
         ref_rtx = audio_seconds / ref_elapsed
 
     result = {
-        "metric": "realtime_x_decode_714_to_ssJ",
+        "metric": ("realtime_x_decode_714_to_ssJ" if content == "pcm"
+                   else f"realtime_x_decode_714_{content}_to_ssJ"),
         "value": round(rtx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtx / 1.0, 2),

@@ -228,6 +228,6 @@ class TPUOpusStream:
             t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
             g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
         chunk = self._synth.pick_chunk(d["min_period"])
-        pcm, self.carry = self._synth.synthesize(
-            params, self.carry, chunk=chunk, postfilter=d["postfilter"])
+        pcm, self.carry = self._synth.synthesize(params, self.carry,
+                                                 chunk=chunk)
         return np.asarray(pcm)

@@ -203,22 +203,22 @@ def _deemphasis(z, m0):
     return out, m[:, -1]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "postfilter"))
-def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104,
-               postfilter: bool = True):
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
     """Full device synthesis. Returns (pcm [B,L,960] float in [-1,1] at s16
-    granularity, new carry)."""
+    granularity, new carry).
+
+    The comb always runs — zero coefficients are an exact identity — so the
+    only compile variants are (B, L, chunk); axon remote compiles cost
+    minutes each, so variants are kept to a minimum."""
     B, L, _ = p.freq.shape
     y, tail = _imdct_overlap(p.freq, p.transient, carry.tail)
     sig = y.transpose(1, 0, 2).reshape(L, B * FRAME)
-    if postfilter:
-        c1, c2, lag1, lag2 = _comb_coeffs(p)
-        flat = lambda a: a.transpose(1, 0, 2, *range(3, a.ndim)).reshape(
-            (L, B * FRAME) + a.shape[3:])
-        z = _comb_filter(sig, carry.hist, flat(c1), flat(c2),
-                         flat(lag1), flat(lag2), chunk)
-    else:
-        z = sig
+    c1, c2, lag1, lag2 = _comb_coeffs(p)
+    flat = lambda a: a.transpose(1, 0, 2, *range(3, a.ndim)).reshape(
+        (L, B * FRAME) + a.shape[3:])
+    z = _comb_filter(sig, carry.hist, flat(c1), flat(c2),
+                     flat(lag1), flat(lag2), chunk)
     hist = z[:, -HIST:] if B * FRAME >= HIST else jnp.concatenate(
         [carry.hist, z], axis=1)[:, -HIST:]
     out, demem = _deemphasis(z, carry.demem)
@@ -228,10 +228,10 @@ def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104,
 
 
 def pick_chunk(min_period: int) -> int:
-    """Largest power-of-two-ish chunk <= min_period-2 (static, bucketed to
-    bound recompiles)."""
+    """Largest chunk <= min_period-2, capped at 104 so typical content maps
+    to a single compile variant (each variant recompiles; see synthesize)."""
     lim = max(MINPERIOD, int(min_period)) - 2
-    for c in (832, 416, 208, 104, 52, 26, 13):
+    for c in (104, 52, 26, 13):
         if c <= lim:
             return c
     return 13

@@ -43,6 +43,8 @@ class BatchedStreamDecoder:
             raise ValueError("no sequence header")
         pos = off
         self.frames_per_substream: dict[int, list[bytes]] = {}
+        self.trims: list[tuple[int, int]] = []  # (start, end) per temporal unit
+        first_sid = None
         for obu in parser.iter_obus(memoryview(data)[off:]):
             if obu.type == 0:
                 self.db.add_codec_config(parser.parse_codec_config(obu))
@@ -55,6 +57,10 @@ class BatchedStreamDecoder:
                 self.frames_per_substream.setdefault(f.substream_id, []).append(
                     bytes(f.data)
                 )
+                if first_sid is None:
+                    first_sid = f.substream_id
+                if f.substream_id == first_sid:
+                    self.trims.append((f.trim_start, f.trim_end))
 
         mp = self.db.mix_presentations[0]
         sub = mp.sub_mixes[0]
@@ -105,6 +111,13 @@ class BatchedStreamDecoder:
         self.raw_input = hasattr(self.codec, "decode_batch_raw")
         if self.raw_input:
             self.input_scale = 1.0 / float(getattr(self.codec, "scale", 1.0))
+        # Opus: host entropy layers -> device synthesis (codecs/opus/tpu_synth)
+        self.opus_synth = None
+        if (hasattr(self.codec, "decode_spectrum_batch")
+                and self.frame_size == 960):
+            from ..codecs.opus import tpu_synth
+
+            self.opus_synth = tpu_synth
         self.cfg = PipelineConfig(
             frame_size=self.frame_size,
             out_channels=out_ch,
@@ -143,7 +156,12 @@ class BatchedStreamDecoder:
         packets_per_substream = [
             self.frames_per_substream[sid] for sid in self.substream_ids
         ]
-        if self.raw_input:
+        all_x = None
+        syn_carry = None
+        if self.opus_synth is not None:
+            syn_carry = self.opus_synth.init_carry(
+                sum(ch for _, ch in self.codec._decoders))
+        elif self.raw_input:
             all_x, _scale = self.codec.decode_batch_raw(packets_per_substream, T)
         elif hasattr(self.codec, "decode_batch"):
             all_x = self.codec.decode_batch(packets_per_substream, T)
@@ -165,11 +183,34 @@ class BatchedStreamDecoder:
         counts = []
         for start in range(0, n, B):
             count = min(B, n - start)
-            xs = all_x[start : start + count]
-            if count < B:
-                xs = np.concatenate(
-                    [xs, np.zeros((B - count,) + xs.shape[1:], xs.dtype)]
-                )
+            if self.opus_synth is not None:
+                blk = [[p[k] for p in packets_per_substream]
+                       for k in range(start, start + count)]
+                d = self.codec.decode_spectrum_batch(blk)
+                pad = B - count
+                if pad:
+                    padded = {
+                        k: np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                        for k, v in d.items() if isinstance(v, np.ndarray)
+                    }
+                    padded["t_cur"] = np.maximum(padded["t_cur"], 15)
+                    padded["t_new"] = np.maximum(padded["t_new"], 15)
+                    d.update(padded)
+                params = self.opus_synth.SynthParams(
+                    freq=jnp.asarray(d["freq"]),
+                    transient=jnp.asarray(d["transient"]),
+                    t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
+                    g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
+                xs, syn_carry = self.opus_synth.synthesize(
+                    params, syn_carry,
+                    chunk=self.opus_synth.pick_chunk(d["min_period"]))
+            else:
+                xs = all_x[start : start + count]
+                if count < B:
+                    xs = np.concatenate(
+                        [xs, np.zeros((B - count,) + xs.shape[1:], xs.dtype)]
+                    )
             batch = {
                 "x": [jnp.asarray(xs)],
                 "factors": [factors],
@@ -194,4 +235,14 @@ class BatchedStreamDecoder:
         if self.cfg.limiter is not None:
             d = self.cfg.limiter.delay_size
             out = out[d:]
+        # edge trims (codec pre-skip etc.): the IAMF spec restricts trimming
+        # to the stream head/tail, so the batched path applies the totals to
+        # the assembled output (the per-frame api path trims pre-mix; the two
+        # agree whenever the limiter is not engaged at the boundary)
+        lead = sum(t[0] for t in self.trims[:n])
+        tail = sum(t[1] for t in self.trims[:n])
+        if lead:
+            out = out[lead:]
+        if tail:
+            out = out[: len(out) - tail]
         return out

@@ -1,22 +1,25 @@
-"""Arbitrary-ratio polyphase sinc resampler (reference: resample.c, the
-vendored Speex/speexdsp resampler at quality 4).
+"""Arbitrary-ratio polyphase sinc resampler, speexdsp-parity.
 
-TPU-native design: the polyphase FIR bank is a strided convolution — for a
-rational in/out rate ratio p/q (gcd-reduced, resample.c:1011+) each output
-sample is a dot product of `filt_len` taps selected by the output phase.
-We precompute the Kaiser-windowed sinc bank [q_phases, filt_len] on the host
-(same design parameters as Speex quality 4) and evaluate frames as a
-batched matmul over gathered input windows, with `filt_len-1` samples of
-per-channel carry memory (overlap-save) across frames.
+The reference vendors the public Speex/speexdsp resampler (resample.c) and
+uses quality 4 whenever the stream rate differs from the requested output
+rate (IAMF_decoder.c:57, :3193-3199). This is a faithful reimplementation of
+that algorithm (same filter design, same streaming state machine), verified
+output-for-output against the reference build in tests/test_resample.py:
 
-Latency/drain mirror the reference: `speex_resampler_skip_zeros` at open
-(IAMF_decoder.c:1901) shifts the initial phase, and the flush path pushes
-`input_latency` zeros to drain `output_latency` samples (iamf_resample
-rest_flag==2 branch, IAMF_decoder.c:3224-3247).
+- filter design (resample.c update_filter :530-610): Kaiser-windowed sinc,
+  quality-mapped base length/oversample/bandwidth; direct mode (per-phase
+  table) when den_rate is small, else interpolated mode (oversampled table
+  + cubic interpolation, resampler_basic_interpolate :429-477).
+- Kaiser window tables: analytic I0 Kaiser samples at k/oversample rounded
+  to the published precision; speexdsp hand-smooths four tail entries
+  (public speexdsp constants, patched below to match).
+- streaming (speex_resampler_process_float :920-970): filt_len-1 samples of
+  per-channel history, last_sample/samp_frac_num stepping, [-1,1] output
+  clamp (FLTADJUST), skip_zeros initial latency drop (:1115-1119).
 
-NOTE: numerically equivalent design, not yet bit-identical to speexdsp's
-fixed table (cubic-interpolated path & magic-sample bookkeeping TODO —
-tracked for the resampler-parity milestone).
+TPU note: the inner product is a gathered-window matmul; the decoder calls
+this on the host (it only runs when rates mismatch, a cold path), but the
+same bank/gather formulation drops into the device pipeline if needed.
 """
 
 from __future__ import annotations
@@ -25,64 +28,149 @@ import math
 
 import numpy as np
 
-# Speex quality 4 parameters (resample.c quality_map: filter length 64,
-# oversample 128, bandwidth 0.924)
-QUALITY4_FILT_LEN = 64
-QUALITY4_OVERSAMPLE = 128
-QUALITY4_BANDWIDTH = 0.924
+
+def _i0(x):
+    # numpy lacks scipy on some targets; np.i0 is fine (double precision)
+    return np.i0(x)
 
 
-def _kaiser_beta_for_quality4() -> float:
-    # speexdsp quality 4 uses the KAISER10 window table (stopband ~100 dB)
-    return 10.0
+def _kaiser_table(beta: float, n_entries: int, ovs: int) -> np.ndarray:
+    t = np.zeros(n_entries, np.float64)
+    for idx in range(n_entries):
+        x = (idx - 1) / ovs
+        if abs(x) <= 1.0:
+            t[idx] = round(
+                float(_i0(beta * math.sqrt(max(0.0, 1 - x * x))) / _i0(beta)),
+                8,
+            )
+    return t
 
 
-def _design_bank(num: int, den: int, filt_len: int, cutoff: float) -> np.ndarray:
-    """[den phases, filt_len] polyphase sinc bank; phase k covers fractional
-    offset k/den."""
-    beta = _kaiser_beta_for_quality4()
-    taps = np.zeros((den, filt_len), dtype=np.float64)
-    half = filt_len // 2
-    for k in range(den):
-        frac = k / den
-        n = np.arange(filt_len, dtype=np.float64)
-        x = n - (half - 1) - frac
-        sinc = np.sinc(cutoff * x) * cutoff
-        w = np.i0(beta * np.sqrt(np.clip(1 - (x / half) ** 2, 0, 1))) / np.i0(beta)
-        taps[k] = sinc * w
-    return taps.astype(np.float32)
+def _tables():
+    k12 = _kaiser_table(12.0, 68, 64)
+    k10 = _kaiser_table(10.0, 36, 32)
+    k8 = _kaiser_table(8.0, 36, 32)
+    k6 = _kaiser_table(6.0, 36, 32)
+    # speexdsp hand-smooths the window tails (published speexdsp constants;
+    # the analytic window is exactly 0 past x=1)
+    k12[65] = 0.0000527734
+    k12[66] = 0.00001
+    k8[34] = 0.0005
+    k6[34] = 0.00752
+    return {"k12": (k12, 64), "k10": (k10, 32), "k8": (k8, 32),
+            "k6": (k6, 32)}
+
+
+_WINDOWS = None
+
+# quality -> (base_length, oversample, downsample_bw, upsample_bw, window)
+_QUALITY_MAP = {
+    0: (8, 4, 0.830, 0.860, "k6"),
+    1: (16, 4, 0.850, 0.880, "k6"),
+    2: (32, 4, 0.882, 0.910, "k6"),
+    3: (48, 8, 0.895, 0.917, "k8"),
+    4: (64, 8, 0.921, 0.940, "k8"),
+    5: (80, 16, 0.922, 0.940, "k10"),
+    6: (96, 16, 0.940, 0.945, "k10"),
+    7: (128, 16, 0.950, 0.950, "k10"),
+    8: (160, 16, 0.960, 0.960, "k10"),
+    9: (192, 32, 0.968, 0.968, "k12"),
+    10: (256, 32, 0.975, 0.975, "k12"),
+}
+
+
+def _compute_func(x: float, table: np.ndarray, ovs: int) -> float:
+    """Cubic interpolation over the window table (double precision)."""
+    y = np.float32(x) * np.float32(ovs)
+    ind = int(math.floor(y))
+    frac = float(np.float32(y - ind))
+    i3 = -0.1666666667 * frac + 0.1666666667 * frac ** 3
+    i2 = frac + 0.5 * frac * frac - 0.5 * frac ** 3
+    i0c = -0.3333333333 * frac + 0.5 * frac * frac - 0.1666666667 * frac ** 3
+    i1 = 1.0 - i3 - i2 - i0c
+    return (i0c * table[ind] + i1 * table[ind + 1] + i2 * table[ind + 2]
+            + i3 * table[ind + 3])
+
+
+def _sinc(cutoff: float, x: float, N: int, table, ovs) -> np.float32:
+    xx = np.float32(x) * np.float32(cutoff)
+    if abs(x) < 1e-6:
+        return np.float32(cutoff)
+    if abs(x) > 0.5 * N:
+        return np.float32(0.0)
+    return np.float32(
+        cutoff * math.sin(math.pi * float(xx)) / (math.pi * float(xx))
+        * _compute_func(abs(2.0 * np.float32(x) / N), table, ovs)
+    )
+
+
+def _cubic_coef(frac: np.ndarray):
+    """resample.c cubic_coef (float32)."""
+    f = frac.astype(np.float32)
+    i0c = np.float32(-0.16667) * f + np.float32(0.16667) * f * f * f
+    i1 = f + np.float32(0.5) * f * f - np.float32(0.5) * f * f * f
+    i3 = (np.float32(-0.33333) * f + np.float32(0.5) * f * f
+          - np.float32(0.16667) * f * f * f)
+    i2 = (np.float64(1.0) - i0c - i1 - i3).astype(np.float32)
+    return i0c, i1, i2, i3
 
 
 class Resampler:
-    """Streaming rational resampler with per-channel filter memory."""
+    """Streaming rational resampler, speexdsp-parity at a given quality."""
 
-    def __init__(self, channels: int, in_rate: int, out_rate: int):
+    def __init__(self, channels: int, in_rate: int, out_rate: int,
+                 quality: int = 4):
+        global _WINDOWS
+        if _WINDOWS is None:
+            _WINDOWS = _tables()
         self.channels = channels
         self.in_rate = in_rate
         self.out_rate = out_rate
         g = math.gcd(in_rate, out_rate)
-        self.num = in_rate // g  # input step per output frame fraction
+        self.num = in_rate // g
         self.den = out_rate // g
-        if in_rate > out_rate:
-            cutoff = QUALITY4_BANDWIDTH * out_rate / in_rate
-            self.filt_len = int(
-                math.ceil(QUALITY4_FILT_LEN * in_rate / out_rate / 8) * 8
-            )
+        base_len, ovs, down_bw, up_bw, wname = _QUALITY_MAP[quality]
+        table, wovs = _WINDOWS[wname]
+        self.oversample = ovs
+        if self.num > self.den:  # downsampling
+            self.cutoff = float(
+                np.float32(np.float32(down_bw) * self.den) / np.float32(self.num))
+            fl = (base_len % self.den) * self.num // self.den + (
+                base_len // self.den) * self.num
+            self.filt_len = ((fl - 1) & ~0x7) + 8
+            for k in (2, 4, 8, 16):
+                if k * self.den < self.num:
+                    self.oversample >>= 1
+            self.oversample = max(self.oversample, 1)
         else:
-            cutoff = QUALITY4_BANDWIDTH
-            self.filt_len = QUALITY4_FILT_LEN
-        self.bank = _design_bank(self.num, self.den, self.filt_len, cutoff)
-        # state: last filt_len-1 input samples per channel
-        self.mem = np.zeros((channels, self.filt_len - 1), dtype=np.float32)
-        # output sample position tracking: next output sample index maps to
-        # input position samp_frac_num/den
+            self.cutoff = up_bw
+            self.filt_len = base_len
+        N = self.filt_len
+        self.direct = N * self.den <= N * self.oversample + 8
+        if self.direct:
+            bank = np.zeros((self.den, N), np.float32)
+            for i in range(self.den):
+                for j in range(N):
+                    bank[i, j] = _sinc(
+                        self.cutoff,
+                        (j - N // 2 + 1) - np.float32(i) / self.den,
+                        N, table, wovs)
+            self.bank = bank
+        else:
+            n = self.oversample * N + 8
+            tab = np.zeros(n, np.float32)
+            for i in range(-4, self.oversample * N + 4):
+                tab[i + 4] = _sinc(self.cutoff,
+                                   i / np.float32(self.oversample) - N // 2,
+                                   N, table, wovs)
+            self.table = tab
+
         self.int_advance = self.num // self.den
         self.frac_advance = self.num % self.den
+        self.mem = np.zeros((channels, N - 1), np.float32)
+        # skip_zeros applied at open, as the decoder does (IAMF_decoder.c:1901)
+        self.last_sample = N // 2
         self.samp_frac_num = 0
-        self.in_offset = 0  # integer input position not yet consumed
-        # skip_zeros: drop the initial half-filter of latency
-        self._pending_skip = self.filt_len // 2 - 1
-        self.started = False
 
     @property
     def input_latency(self) -> int:
@@ -90,47 +178,63 @@ class Resampler:
 
     @property
     def output_latency(self) -> int:
-        return int(
-            (self.input_latency * self.den + self.samp_frac_num) // self.num
-        )
+        return (self.input_latency * self.den + self.samp_frac_num
+                ) // self.num
 
     def process(self, x: np.ndarray) -> np.ndarray:
-        """x: [channels, T] -> [channels, T_out]."""
-        if not self.started:
-            # skip_zeros: advance the read position past initial latency
-            self.in_offset = self._pending_skip
-            self.started = True
-        buf = np.concatenate([self.mem, x.astype(np.float32)], axis=1)
-        total = buf.shape[1]
-        outs = []
-        pos = self.in_offset
-        frac = self.samp_frac_num
-        positions = []
-        phases = []
-        while pos + self.filt_len <= total:
-            positions.append(pos)
-            phases.append(frac)
-            pos += self.int_advance
+        """x: [channels, T] float32 -> [channels, T_out] (FLTADJUST clamped)."""
+        x = np.asarray(x, np.float32)
+        T = x.shape[1]
+        buf = np.concatenate([self.mem, x], axis=1)
+        N = self.filt_len
+        # step positions until last_sample >= T
+        ls, frac = self.last_sample, self.samp_frac_num
+        positions, fracs = [], []
+        while ls < T:
+            positions.append(ls)
+            fracs.append(frac)
+            ls += self.int_advance
             frac += self.frac_advance
             if frac >= self.den:
                 frac -= self.den
-                pos += 1
+                ls += 1
         if positions:
-            idx = np.asarray(positions)[:, None] + np.arange(self.filt_len)[None, :]
-            windows = buf[:, idx]  # [C, n_out, filt_len]
-            taps = self.bank[np.asarray(phases)]  # [n_out, filt_len]
-            out = np.einsum("cnf,nf->cn", windows, taps).astype(np.float32)
-            outs.append(out)
-        consumed = total - (self.filt_len - 1)
-        self.in_offset = max(0, pos - consumed)
-        # keep the last filt_len-1 samples as memory
-        self.mem = buf[:, consumed:]
+            pos = np.asarray(positions)
+            idx = pos[:, None] + np.arange(N)[None, :]
+            windows = buf[:, idx]  # [C, n, N]
+            ph = np.asarray(fracs)
+            if self.direct:
+                # direct_single: float accumulation (float64 here; <=1 ulp)
+                out = np.einsum("cnf,nf->cn", windows.astype(np.float64),
+                                self.bank[ph].astype(np.float64))
+                out = out.astype(np.float32)
+            else:
+                # interpolate_single: 4 double accumulators + cubic mix
+                offs = ph * self.oversample // self.den
+                fr = ((ph * self.oversample) % self.den).astype(
+                    np.float32) / np.float32(self.den)
+                j = np.arange(N)
+                base = 4 + (j[None, :] + 1) * self.oversample - offs[:, None]
+                acc = [
+                    np.einsum("cnf,nf->cn", windows.astype(np.float64),
+                              self.table[base + (k - 2)].astype(np.float64))
+                    for k in range(4)
+                ]
+                c0, c1, c2, c3 = _cubic_coef(fr)
+                out = (c0[None] * acc[0] + c1[None] * acc[1]
+                       + c2[None] * acc[2] + c3[None] * acc[3]
+                       ).astype(np.float32)
+            out = np.clip(out, -1.0, 1.0)  # FLTADJUST
+        else:
+            out = np.zeros((self.channels, 0), np.float32)
+        consumed = min(ls, T)
+        self.last_sample = ls - consumed
         self.samp_frac_num = frac
-        if outs:
-            return np.concatenate(outs, axis=1)
-        return np.zeros((self.channels, 0), dtype=np.float32)
+        self.mem = buf[:, consumed:consumed + N - 1].copy()
+        return out
 
     def drain(self) -> np.ndarray:
-        """Flush latency with zero input (rest_flag==2 path)."""
-        zeros = np.zeros((self.channels, self.input_latency), dtype=np.float32)
+        """Flush latency with zero input (iamf_resample rest_flag==2 path,
+        IAMF_decoder.c:3224-3247)."""
+        zeros = np.zeros((self.channels, self.input_latency), np.float32)
         return self.process(zeros)

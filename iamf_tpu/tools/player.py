@@ -141,16 +141,25 @@ def main(argv=None) -> int:
         dec.stream_log = True
 
     if args.v is not None:
-        if args.i == 1:
-            print("-v requires bitstream input (-i0)", file=sys.stderr)
-            return 1
-        from .vlogger import vlog_stream
-
         with open(args.input, "rb") as f:
             raw = f.read()
-        with open(args.v, "w") as out:
-            n = vlog_stream(raw, out)
-        print(f"vlogged {n} OBUs -> {args.v}")
+        if args.i == 1:
+            # mp4 input: box-level YAML log + descriptor OBU log
+            # (vlogging_iamfmp4_sr.c + vlogging_tool_sr.c in the verifier)
+            from ..mp4.atoms import vlog_mp4
+            from ..mp4.iamf_track import MP4IAMFParser
+            from .vlogger import vlog_stream
+
+            with open(args.v, "w") as out:
+                n = vlog_mp4(raw, out)
+                n += vlog_stream(MP4IAMFParser(args.input).descriptors, out)
+            print(f"vlogged {n} mp4 boxes + descriptor OBUs -> {args.v}")
+        else:
+            from .vlogger import vlog_stream
+
+            with open(args.v, "w") as out:
+                n = vlog_stream(raw, out)
+            print(f"vlogged {n} OBUs -> {args.v}")
 
     try:
         if args.i == 1:

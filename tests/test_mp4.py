@@ -85,3 +85,26 @@ def test_mp4_scalable_with_params(tmp_path):
     n = min(len(ours), len(ref))
     diff = np.abs(ours[:n].astype(np.int64) - ref[:n].astype(np.int64))
     assert len(ours) == len(ref) and diff.max() <= 1
+
+
+def test_atom_dump_and_mp4_vlogger(tmp_path):
+    """Box-tree dump + conformance YAML logs (atom.c:294, 
+    vlogging_iamfmp4_sr.c writers)."""
+    import io
+
+    from iamf_tpu.mp4.atoms import atom_dump, vlog_mp4
+
+    stream, _ = vectors.build_pcm_stereo_stream(n_frames=4)
+    mp4 = vectors.build_mp4(stream)
+    out = io.StringIO()
+    n = atom_dump(mp4, out)
+    text = out.getvalue()
+    assert n > 10
+    for box in ("ftyp", "moov", "trak", "stbl", "stsd", "mdat"):
+        assert box in text, box
+    out = io.StringIO()
+    n = vlog_mp4(mp4, out)
+    text = out.getvalue()
+    assert "format: iamf" in text
+    assert "samplerate" in text
+    assert "stts" in text and "stsz" in text

@@ -65,3 +65,41 @@ def test_dryrun_multichip_4():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_batched_opus_device_synthesis(tmp_path):
+    """Opus through the batched path: host entropy decode feeds the device
+    CELT synthesis (spectrum export -> IMDCT matmul), then the fused
+    demix/render pipeline. Must track the frame-serial api decoder (host
+    synthesis) within the documented <=1 LSB de-emphasis tolerance, scaled
+    through the render matrix."""
+    from test_e2e_pcm import ours_decode, ref_decode
+
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.STEREO, n_frames=11
+    )
+    serial = ours_decode(stream, 0)
+    dec = BatchedStreamDecoder(stream, sound_system=0, batch_frames=4)
+    assert dec.opus_synth is not None
+    out = dec.decode_all()
+    n = min(len(serial), len(out))
+    assert n > 0
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 2, f"batched opus differs: max {diff.max()}"
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    m = min(len(ref), len(out))
+    e = ref[:m].astype(np.float64) - out[:m].astype(np.float64)
+    snr = 10 * np.log10((ref[:m].astype(np.float64) ** 2).mean()
+                        / ((e ** 2).mean() + 1e-12))
+    assert snr > 60, f"SNR vs reference {snr:.1f} dB"
+
+
+def test_batched_opus_51_downmix():
+    from test_e2e_pcm import ours_decode
+
+    stream, _ = vectors.build_opus_layout_stream(ChannelLayout.L510, n_frames=9)
+    serial = ours_decode(stream, 0)
+    out = BatchedStreamDecoder(stream, sound_system=0, batch_frames=4).decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 2, f"max {diff.max()}"
