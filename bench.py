@@ -89,9 +89,11 @@ def main() -> None:
         path = os.path.join(d, "bench.iamf")
         with open(path, "wb") as f:
             f.write(stream)
+        # -o2 (wav output) is required: the reference player skips decoding
+        # entirely for any other output mode (iamfplayer.c:908-918)
         t0 = time.perf_counter()
         subprocess.run(
-            [ref_bin, "-o0", f"-s{sound_system}", "bench.iamf"],
+            [ref_bin, "-o2", f"-s{sound_system}", "bench.iamf"],
             cwd=d, capture_output=True, timeout=600,
         )
         ref_elapsed = time.perf_counter() - t0

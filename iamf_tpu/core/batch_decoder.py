@@ -1,28 +1,51 @@
 """Batched stream decoder: host parse/unpack feeding the fused TPU pipeline.
 
 The throughput path: parses all OBUs up front (host, <1% of time), unpacks
-codec payloads into [B, C, T] frame batches, evaluates parameter curves into
-dense per-frame tensors, and drives core.pipeline.decode_frames in large
-batches. Currently supports single channel-based-element presentations
-(PCM/FLAC-class codecs whose host decode yields planar frames); the
-per-frame api.IAMFDecoder remains the fully general path.
+codec payloads into [B, C, T] frame batches, and drives
+core.pipeline.decode_frames in large batches — all elements of the selected
+mix presentation decode/render in one jitted program and are psum-mixed on
+device. Channel-based elements demix/downmix as in the per-frame path;
+scene-based (ambisonics) elements fold the mono-remap / projection
+conversion into the H2M render matrix (one [out, lanes] matmul). Opus
+elements run the host-entropy + device-synthesis split
+(codecs/opus/tpu_synth.py). The per-frame api.IAMFDecoder remains the fully
+general path (parameter curves, reconfigure, seek).
 """
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import ChannelLayout, ElementType, LayoutType, SoundSystem
+from ..constants import (
+    AmbisonicsMode, ElementType, LayoutType, SoundSystem,
+    db_to_linear, q78_to_db,
+)
 from ..codecs.base import open_decoder
 from ..dsp.demix import DemixSpec
 from ..dsp.limiter import LimiterConfig
 from ..dsp import render as rdr
 from ..dsp.downmix import can_downmix, downmix_matrix
 from ..obu import parser
-from .database import Database, codec_config_sampling_rate
+from .database import Database
 from .pipeline import ElementSpec, PipelineConfig, decode_frames, init_carry
-from .stream import SS_TO_LAYOUT, LAYOUT_CHANNELS_CODEC, Stream, OutputLayout
+from .stream import SS_TO_LAYOUT, Stream, OutputLayout
+
+
+@dataclasses.dataclass
+class _ElemCtx:
+    stream: Stream
+    codec: object
+    substream_ids: list
+    demix_spec: object  # DemixSpec | None
+    render_mat: np.ndarray  # [out_channels, n_rendered]
+    n_in: int
+    input_scale: float
+    raw_input: bool
+    opus: bool
+    gain: float  # element default mix gain (linear)
 
 
 class BatchedStreamDecoder:
@@ -41,7 +64,6 @@ class BatchedStreamDecoder:
         off = parser.find_sequence_header(data)
         if off < 0:
             raise ValueError("no sequence header")
-        pos = off
         self.frames_per_substream: dict[int, list[bytes]] = {}
         self.trims: list[tuple[int, int]] = []  # (start, end) per temporal unit
         first_sid = None
@@ -64,80 +86,142 @@ class BatchedStreamDecoder:
 
         mp = self.db.mix_presentations[0]
         sub = mp.sub_mixes[0]
-        assert len(sub.elements) == 1, "batched path: single element for now"
-        item = self.db.elements[sub.elements[0].element_id]
-        self.stream = Stream(item, self.layout)
-        el = item.element
-        cc = item.codec_config
-        self.frame_size = cc.nb_samples_per_frame
-
-        s = self.stream
-        layer = s.layers[s.layer]
-        self.codec = open_decoder(
-            s.codec, cc.decoder_conf,
-            sum(l.nb_substreams for l in s.layers[: s.layer + 1]),
-            sum(l.nb_coupled_substreams for l in s.layers[: s.layer + 1]),
-            self.frame_size,
-        )
-        self.substream_ids = list(el.substream_ids)
-
-        order = s.channels_order[: s.selected_channels]
-        self.demix_spec = DemixSpec(
-            layout=s.selected_layout,
-            channels_in=tuple(order),
-            frame_size=self.frame_size,
-            output_gains=(1.0,) * len(order),
-        )
         out_ch = self.layout.channels
-
-        # render matrix: downmix graph flattened, or M2M table
-        in_layout = s.selected_layout
-        tgt = SS_TO_LAYOUT.get(SoundSystem(sound_system))
-        if (
-            tgt is not None
-            and s.dmx_default_mode >= 0
-            and can_downmix(in_layout, tgt)
-        ):
-            mode = max(s.dmx_default_mode, 0)
-            self.render_mat = downmix_matrix(
-                in_layout, tgt, mode, max(s.dmx_default_w_idx, 0)
-            )
-        else:
-            self.render_mat = rdr.m2m_matrix(
-                rdr.LAYER_IDS[in_layout], self.layout.render_id
-            ).T.copy()
-
-        self.input_scale = 1.0
-        self.raw_input = hasattr(self.codec, "decode_batch_raw")
-        if self.raw_input:
-            self.input_scale = 1.0 / float(getattr(self.codec, "scale", 1.0))
-        # Opus: host entropy layers -> device synthesis (codecs/opus/tpu_synth)
+        self.frame_size = None
+        self.elems: list[_ElemCtx] = []
         self.opus_synth = None
-        if (hasattr(self.codec, "decode_spectrum_batch")
-                and self.frame_size == 960):
-            from ..codecs.opus import tpu_synth
+        for econf in sub.elements:
+            item = self.db.elements[econf.element_id]
+            ctx = self._open_element(item, econf, sound_system, out_ch)
+            self.elems.append(ctx)
+        self.out_gain = db_to_linear(
+            q78_to_db(sub.output_mix_gain.default_mix_gain_q78))
 
-            self.opus_synth = tpu_synth
         self.cfg = PipelineConfig(
             frame_size=self.frame_size,
             out_channels=out_ch,
             bits=bits,
-            elements=(
+            elements=tuple(
                 ElementSpec(
-                    demix=self.demix_spec,
-                    n_in=len(order),
-                    n_rendered=len(order),
-                    input_scale=self.input_scale,
-                ),
+                    demix=e.demix_spec,
+                    n_in=e.n_in,
+                    n_rendered=e.render_mat.shape[1],
+                    input_scale=e.input_scale,
+                )
+                for e in self.elems
             ),
             limiter=LimiterConfig(channels=out_ch) if limiter else None,
+        )
+
+    def _open_element(self, item, econf, sound_system, out_ch) -> _ElemCtx:
+        stream = Stream(item, self.layout)
+        el = item.element
+        cc = item.codec_config
+        if self.frame_size is None:
+            self.frame_size = cc.nb_samples_per_frame
+        elif self.frame_size != cc.nb_samples_per_frame:
+            raise ValueError("batched path: mixed frame sizes")
+        gain = db_to_linear(
+            q78_to_db(econf.element_mix_gain.default_mix_gain_q78))
+
+        if stream.scheme == ElementType.CHANNEL_BASED:
+            s = stream
+            codec = open_decoder(
+                s.codec, cc.decoder_conf,
+                sum(l.nb_substreams for l in s.layers[: s.layer + 1]),
+                sum(l.nb_coupled_substreams for l in s.layers[: s.layer + 1]),
+                self.frame_size,
+            )
+            order = s.channels_order[: s.selected_channels]
+            demix_spec = DemixSpec(
+                layout=s.selected_layout,
+                channels_in=tuple(order),
+                frame_size=self.frame_size,
+                output_gains=(1.0,) * len(order),
+            )
+            in_layout = s.selected_layout
+            tgt = SS_TO_LAYOUT.get(SoundSystem(sound_system))
+            if (tgt is not None and s.dmx_default_mode >= 0
+                    and can_downmix(in_layout, tgt)):
+                mode = max(s.dmx_default_mode, 0)
+                render_mat = downmix_matrix(
+                    in_layout, tgt, mode, max(s.dmx_default_w_idx, 0))
+            else:
+                render_mat = rdr.m2m_matrix(
+                    rdr.LAYER_IDS[in_layout], self.layout.render_id
+                ).T.copy()
+            n_in = len(order)
+        else:
+            # scene-based: fold mono-remap / projection into the H2M matrix
+            codec = open_decoder(
+                stream.codec, cc.decoder_conf,
+                stream.nb_substreams, stream.nb_coupled_substreams,
+                self.frame_size,
+            )
+            lanes = stream.nb_substreams + stream.nb_coupled_substreams
+            n_amb = stream.nb_channels
+            if stream.ambisonics_mode == AmbisonicsMode.PROJECTION:
+                raw = stream.ambisonics_mapping
+                vals = np.frombuffer(raw, dtype=">i2").astype(
+                    np.float32) / 32768.0
+                conv = vals.reshape(lanes, n_amb).T  # [n_amb, lanes]
+            else:
+                conv = np.zeros((n_amb, lanes), np.float32)
+                for i, m in enumerate(stream.ambisonics_mapping[:n_amb]):
+                    if m < lanes:
+                        conv[i, m] = 1.0
+            hoa_order = rdr.hoa_order_for_channels(n_amb)
+            full = rdr.h2m_full_matrix(
+                hoa_order, self.layout.render_id, out_ch,
+                self.layout.samsung_tv)  # [out, n_amb]
+            render_mat = (full @ conv).astype(np.float32)  # [out, lanes]
+            demix_spec = None
+            n_in = lanes
+
+        input_scale = 1.0
+        raw_input = hasattr(codec, "decode_batch_raw")
+        if raw_input:
+            input_scale = 1.0 / float(getattr(codec, "scale", 1.0))
+        opus = (hasattr(codec, "decode_spectrum_batch")
+                and self.frame_size == 960)
+        if opus and self.opus_synth is None:
+            from ..codecs.opus import tpu_synth
+
+            self.opus_synth = tpu_synth
+        return _ElemCtx(
+            stream=stream, codec=codec,
+            substream_ids=list(el.substream_ids),
+            demix_spec=demix_spec, render_mat=render_mat, n_in=n_in,
+            input_scale=input_scale, raw_input=raw_input, opus=opus,
+            gain=gain,
         )
 
     @property
     def n_frames(self) -> int:
         return min(
-            len(self.frames_per_substream.get(sid, [])) for sid in self.substream_ids
+            len(self.frames_per_substream.get(sid, []))
+            for e in self.elems for sid in e.substream_ids
         )
+
+    def _opus_batch(self, e: _ElemCtx, packets, start, count, B, syn_carry):
+        blk = [[p[k] for p in packets] for k in range(start, start + count)]
+        d = e.codec.decode_spectrum_batch(blk)
+        pad = B - count
+        if pad:
+            padded = {
+                k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in d.items() if isinstance(v, np.ndarray)
+            }
+            padded["t_cur"] = np.maximum(padded["t_cur"], 15)
+            padded["t_new"] = np.maximum(padded["t_new"], 15)
+            d.update(padded)
+        params = self.opus_synth.SynthParams(
+            freq=jnp.asarray(d["freq"]), transient=jnp.asarray(d["transient"]),
+            t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
+            g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
+        return self.opus_synth.synthesize(
+            params, syn_carry, chunk=self.opus_synth.pick_chunk(d["min_period"]))
 
     def decode_all(self) -> np.ndarray:
         """Decode everything; returns [samples, out_channels] int PCM.
@@ -150,77 +234,78 @@ class BatchedStreamDecoder:
         T = self.frame_size
         n = self.n_frames
         carry = init_carry(self.cfg)
-        mat = jnp.asarray(self.render_mat)
 
-        # one vectorized unpack for the whole stream
-        packets_per_substream = [
-            self.frames_per_substream[sid] for sid in self.substream_ids
-        ]
-        all_x = None
-        syn_carry = None
-        if self.opus_synth is not None:
-            syn_carry = self.opus_synth.init_carry(
-                sum(ch for _, ch in self.codec._decoders))
-        elif self.raw_input:
-            all_x, _scale = self.codec.decode_batch_raw(packets_per_substream, T)
-        elif hasattr(self.codec, "decode_batch"):
-            all_x = self.codec.decode_batch(packets_per_substream, T)
-        else:
-            all_x = np.stack(
-                [
-                    self.codec.decode([p[k] for p in packets_per_substream])
-                    for k in range(n)
-                ]
-            )
+        # per-element: one vectorized unpack for the whole stream (or, for
+        # opus, a per-batch spectrum decode feeding the device synthesis)
+        elem_packets = []
+        elem_all_x = []
+        elem_syn_carry = []
+        for e in self.elems:
+            packets = [self.frames_per_substream[sid]
+                       for sid in e.substream_ids]
+            elem_packets.append(packets)
+            if e.opus:
+                elem_all_x.append(None)
+                elem_syn_carry.append(self.opus_synth.init_carry(
+                    sum(ch for _, ch in e.codec._decoders)))
+            elif e.raw_input:
+                elem_all_x.append(e.codec.decode_batch_raw(packets, T)[0])
+                elem_syn_carry.append(None)
+            elif hasattr(e.codec, "decode_batch"):
+                elem_all_x.append(e.codec.decode_batch(packets, T))
+                elem_syn_carry.append(None)
+            else:
+                elem_all_x.append(np.stack(
+                    [e.codec.decode([p[k] for p in packets])
+                     for k in range(n)]))
+                elem_syn_carry.append(None)
 
         ones_bt = jnp.ones((B, T), jnp.float32)
         zeros_rg = jnp.zeros((B, 0, T), jnp.float32)
         zeros_bt = jnp.zeros((B, T), jnp.float32)
-        mat_b = jnp.broadcast_to(mat, (B,) + mat.shape)
-        factors = {k: ones_bt for k in ("alpha", "beta", "gamma", "delta", "dw")}
+        factors = {k: ones_bt for k in ("alpha", "beta", "gamma", "delta",
+                                        "dw")}
+        mats_b = [
+            jnp.broadcast_to(jnp.asarray(e.render_mat),
+                             (B,) + e.render_mat.shape)
+            for e in self.elems
+        ]
+        gains_bt = [
+            ones_bt if e.gain == 1.0 else jnp.full((B, T), e.gain, jnp.float32)
+            for e in self.elems
+        ]
+        out_gain_bt = (ones_bt if self.out_gain == 1.0
+                       else jnp.full((B, T), self.out_gain, jnp.float32))
 
         device_outs = []
         counts = []
         for start in range(0, n, B):
             count = min(B, n - start)
-            if self.opus_synth is not None:
-                blk = [[p[k] for p in packets_per_substream]
-                       for k in range(start, start + count)]
-                d = self.codec.decode_spectrum_batch(blk)
-                pad = B - count
-                if pad:
-                    padded = {
-                        k: np.concatenate(
-                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
-                        for k, v in d.items() if isinstance(v, np.ndarray)
-                    }
-                    padded["t_cur"] = np.maximum(padded["t_cur"], 15)
-                    padded["t_new"] = np.maximum(padded["t_new"], 15)
-                    d.update(padded)
-                params = self.opus_synth.SynthParams(
-                    freq=jnp.asarray(d["freq"]),
-                    transient=jnp.asarray(d["transient"]),
-                    t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
-                    g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
-                xs, syn_carry = self.opus_synth.synthesize(
-                    params, syn_carry,
-                    chunk=self.opus_synth.pick_chunk(d["min_period"]))
-            else:
-                xs = all_x[start : start + count]
-                if count < B:
-                    xs = np.concatenate(
-                        [xs, np.zeros((B - count,) + xs.shape[1:], xs.dtype)]
-                    )
+            xs_list = []
+            for i, e in enumerate(self.elems):
+                if e.opus:
+                    xs, elem_syn_carry[i] = self._opus_batch(
+                        e, elem_packets[i], start, count, B,
+                        elem_syn_carry[i])
+                else:
+                    xs = elem_all_x[i][start:start + count]
+                    if count < B:
+                        xs = np.concatenate(
+                            [xs,
+                             np.zeros((B - count,) + xs.shape[1:], xs.dtype)])
+                    xs = jnp.asarray(xs)
+                xs_list.append(xs)
+            n_e = len(self.elems)
             batch = {
-                "x": [jnp.asarray(xs)],
-                "factors": [factors],
-                "rg_index": [()],
-                "rg_filt": [zeros_rg],
-                "render_prev": [mat_b],
-                "render_cur": [mat_b],
-                "offset_mask": [zeros_bt],
-                "elem_gain": [ones_bt],
-                "out_gain": ones_bt,
+                "x": xs_list,
+                "factors": [factors] * n_e,
+                "rg_index": [()] * n_e,
+                "rg_filt": [zeros_rg] * n_e,
+                "render_prev": mats_b,
+                "render_cur": mats_b,
+                "offset_mask": [zeros_bt] * n_e,
+                "elem_gain": gains_bt,
+                "out_gain": out_gain_bt,
             }
             carry, pcm = decode_frames(self.cfg, carry, batch)
             device_outs.append(pcm)

@@ -103,3 +103,50 @@ def test_batched_opus_51_downmix():
     n = min(len(serial), len(out))
     diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
     assert diff.max() <= 2, f"max {diff.max()}"
+
+
+def test_batched_ambisonics():
+    """Scene-based element through the batched path: mono-remap folded into
+    the H2M render matrix."""
+    from test_e2e_pcm import ours_decode
+
+    stream, _ = vectors.build_ambisonics_pcm_stream(order=1, n_frames=8)
+    serial = ours_decode(stream, 1)
+    out = BatchedStreamDecoder(stream, sound_system=1, batch_frames=3).decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 1, f"max {diff.max()}"
+
+
+def test_batched_ambisonics_projection():
+    from test_e2e_pcm import ours_decode
+
+    stream, _ = vectors.build_ambisonics_pcm_stream(
+        order=1, n_frames=6, projection=True
+    )
+    serial = ours_decode(stream, 0)
+    out = BatchedStreamDecoder(stream, sound_system=0, batch_frames=4).decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 4, f"max {diff.max()}"
+
+
+def test_batched_two_elements(tmp_path):
+    """Stereo + FOA elements mixed on device (psum mixer analogue), with a
+    non-unit element gain; checked against the per-frame api decoder and the
+    reference player."""
+    from test_e2e_pcm import ours_decode, ref_decode
+
+    stream, _, _ = vectors.build_two_element_stream(
+        n_frames=8, gain2_q78=-(3 << 8)  # -3 dB on the ambisonics bed
+    )
+    serial = ours_decode(stream, 0)
+    out = BatchedStreamDecoder(stream, sound_system=0, batch_frames=3).decode_all()
+    n = min(len(serial), len(out))
+    assert n > 0
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 2, f"max {diff.max()}"
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    m = min(len(ref), len(out))
+    d2 = np.abs(ref[:m].astype(np.int64) - out[:m].astype(np.int64))
+    assert d2.max() <= 2, f"vs reference: max {d2.max()}"

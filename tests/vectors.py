@@ -556,3 +556,71 @@ def decode_with_reference(
             f"reference player produced no wav: {res.stdout}\n{res.stderr}"
         )
     return wav
+
+
+def build_two_element_stream(
+    n_frames: int = 8,
+    frame_size: int = 960,
+    sample_size: int = 16,
+    rate: int = 48000,
+    gain1_q78: int = 0,
+    gain2_q78: int = 0,
+    target_layouts=(0, 1),
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Base-profile mix: stereo channel element + FOA ambisonics element in
+    one sub mix (the reference mixer path, IAMF_decoder.c:2702-2733)."""
+    total = n_frames * frame_size
+    pcm1 = sine_pcm(total, 2, rate, amp=0.3, bits=sample_size, seed=2)
+    pcm2 = sine_pcm(total, 4, rate, amp=0.25, bits=sample_size, seed=9)
+
+    out = bytearray()
+    out += builder.sequence_header_obu(primary_profile=1, additional_profile=1)
+    out += builder.codec_config_obu(
+        1, b"ipcm", frame_size, 0, builder.pcm_decoder_conf(sample_size, rate)
+    )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=[0],
+        layers=[builder.LayerSpec(ChannelLayout.STEREO, 1, 1)],
+    )
+    out += builder.audio_element_obu(
+        element_id=2,
+        element_type=ElementType.SCENE_BASED,
+        codec_config_id=1,
+        substream_ids=[1, 2, 3, 4],
+        ambisonics={
+            "mode": 0,
+            "output_channel_count": 4,
+            "substream_count": 4,
+            "mapping": [0, 1, 2, 3],
+        },
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1,
+                mix_gain_param=builder.ParamDefinition(id=100),
+                default_mix_gain_q78=gain1_q78,
+            ),
+            builder.MixElementSpec(
+                element_id=2,
+                mix_gain_param=builder.ParamDefinition(id=101),
+                default_mix_gain_q78=gain2_q78,
+            ),
+        ],
+        layouts=[builder.LayoutSpec(sound_system=ss) for ss in target_layouts],
+    )
+    for f in range(n_frames):
+        fr1 = pcm1[f * frame_size : (f + 1) * frame_size]
+        fr2 = pcm2[f * frame_size : (f + 1) * frame_size]
+        out += builder.audio_frame_obu(
+            0, builder.pack_pcm_frame(fr1, sample_size)
+        )
+        for s in range(4):
+            out += builder.audio_frame_obu(
+                1 + s, builder.pack_pcm_frame(fr2[:, s : s + 1], sample_size)
+            )
+    return bytes(out), pcm1, pcm2
