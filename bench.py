@@ -76,6 +76,19 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
+    # device-only rate: same decode, PCM left on device (separates decode
+    # throughput from the host<->device transfer, which on the tunneled
+    # axon TPU is ~22 MB/s and dominates end-to-end wall time)
+    dev_times = []
+    for _ in range(2):
+        d = BatchedStreamDecoder(
+            stream, sound_system=sound_system, batch_frames=128
+        )
+        t0 = time.perf_counter()
+        d.decode_all(fetch=False)
+        dev_times.append(time.perf_counter() - t0)
+    dev_elapsed = min(dev_times)
+
     audio_seconds = pcm.shape[0] / 48000.0
     rtx = audio_seconds / elapsed
     fps = n_frames / elapsed
@@ -108,6 +121,8 @@ def main() -> None:
         "frames_per_s": round(fps, 1),
         "audio_seconds": round(audio_seconds, 2),
         "wall_seconds": round(elapsed, 3),
+        "device_only_realtime_x": round(
+            (pcm.shape[0] / 48000.0) / dev_elapsed, 2),
     }
     if ref_rtx is not None:
         result["reference_player_realtime_x"] = round(ref_rtx, 2)

@@ -223,12 +223,14 @@ class BatchedStreamDecoder:
         return self.opus_synth.synthesize(
             params, syn_carry, chunk=self.opus_synth.pick_chunk(d["min_period"]))
 
-    def decode_all(self) -> np.ndarray:
+    def decode_all(self, fetch: bool = True):
         """Decode everything; returns [samples, out_channels] int PCM.
 
         Host unpack is a single vectorized pass; device batches are enqueued
         asynchronously (JAX dispatch) and results fetched at the end, so
-        host<->device transfers overlap with compute.
+        host<->device transfers overlap with compute. fetch=False leaves the
+        PCM on device (list of [B, T, ch] batches, synced) — used by the
+        bench to separate decode throughput from host-transfer bandwidth.
         """
         B = self.batch_frames
         T = self.frame_size
@@ -311,6 +313,10 @@ class BatchedStreamDecoder:
             device_outs.append(pcm)
             counts.append(count)
 
+        if not fetch:
+            if device_outs:
+                device_outs[-1].block_until_ready()
+            return device_outs
         outs = [
             np.asarray(pcm[:c]).reshape(c * T, -1)
             for pcm, c in zip(device_outs, counts)

@@ -97,6 +97,7 @@ def build_pcm_layout_stream(
     amp: float = 0.5,
     demix_mode: int = 0,
     seed: int = 1,
+    pcm_override: np.ndarray | None = None,
 ) -> tuple[bytes, np.ndarray]:
     """Single-layer channel-based ipcm stream for any IA layout.
 
@@ -107,7 +108,10 @@ def build_pcm_layout_stream(
     nch = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
     nsub, ncoupled = _layer_substreams(layout)
     total = n_frames * frame_size
-    pcm = sine_pcm(total, nch, rate, amp=amp, bits=sample_size, seed=seed)
+    if pcm_override is not None:
+        pcm = np.asarray(pcm_override)[:total]
+    else:
+        pcm = sine_pcm(total, nch, rate, amp=amp, bits=sample_size, seed=seed)
 
     out = bytearray()
     out += builder.sequence_header_obu()
@@ -624,3 +628,89 @@ def build_two_element_stream(
                 1 + s, builder.pack_pcm_frame(fr2[:, s : s + 1], sample_size)
             )
     return bytes(out), pcm1, pcm2
+
+
+def aac_decoder_config(asc: bytes, avg_bitrate: int = 128000) -> bytes:
+    """IAMF AAC decoder_config: FIXED-layout DecoderConfigDescriptor (no
+    expandable lengths; IAMF_aac_decoder.c:83-96, IAMF_decoder.c:715-732):
+    0x04, OTI 0x40, streamType, bufferSizeDB u24, maxBitrate u32,
+    avgBitrate u32, 0x05, raw ASC."""
+    return (
+        bytes([0x04,
+               0x40,          # objectTypeIndication: MPEG-4 audio
+               0x15,          # streamType=audio(5)<<2 | reserved 1
+               0, 0, 0])      # bufferSizeDB u24
+        + (avg_bitrate * 2).to_bytes(4, "big")
+        + avg_bitrate.to_bytes(4, "big")
+        + bytes([0x05]) + asc
+    )
+
+
+def build_aac_layout_stream(
+    layout: int = 1,
+    n_frames: int = 10,
+    frame_size: int = 1024,
+    rate: int = 48000,
+    amp: float = 0.4,
+    bitrate: int = 128000,
+    seed: int = 33,
+) -> tuple[bytes, np.ndarray, list]:
+    """Channel-based AAC-LC stream; substreams encoded with the reference's
+    fdk-aac binary run through the COFF loader. Returns (stream, source,
+    per-substream AU lists)."""
+    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
+    from iamf_tpu.codecs.aac.fdk import FdkEncoder
+
+    nch = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
+    nsub, ncoupled = _layer_substreams(layout)
+    total = n_frames * frame_size
+    src = sine_pcm(total, nch, rate, amp=amp, bits=16, seed=seed)
+
+    all_packets = []
+    asc = None
+    ch = 0
+    for s in range(nsub):
+        want = 2 if s < ncoupled else 1
+        enc = FdkEncoder(want, rate, bitrate * want // 2,
+                         frame_length=frame_size)
+        pkts = enc.encode(src[:, ch : ch + want].astype(np.int16))
+        all_packets.append(pkts)
+        asc = enc.asc if want == 2 else (asc or enc.asc)
+        ch += want
+    n_frames = min(len(p) for p in all_packets)
+
+    out = bytearray()
+    out += builder.sequence_header_obu()
+    out += builder.codec_config_obu(
+        1, b"mp4a", frame_size, -1, aac_decoder_config(asc, bitrate)
+    )
+    demix = None
+    if nch > 2:
+        demix = builder.ParamDefinition(
+            id=998, rate=rate, mode=0, duration=frame_size,
+            constant_segment_interval=frame_size,
+        )
+    out += builder.audio_element_obu(
+        element_id=1,
+        element_type=ElementType.CHANNEL_BASED,
+        codec_config_id=1,
+        substream_ids=list(range(nsub)),
+        layers=[builder.LayerSpec(layout, nsub, ncoupled)],
+        demix_param=demix,
+        default_demix_mode=0,
+        default_demix_w=0,
+    )
+    out += builder.mix_presentation_obu(
+        mix_presentation_id=10,
+        elements=[
+            builder.MixElementSpec(
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+            )
+        ],
+        layouts=[builder.LayoutSpec(sound_system=0),
+                 builder.LayoutSpec(sound_system=1)],
+    )
+    for f in range(n_frames):
+        for s in range(nsub):
+            out += builder.audio_frame_obu(s, all_packets[s][f])
+    return bytes(out), src, all_packets
