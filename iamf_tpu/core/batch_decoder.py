@@ -52,7 +52,9 @@ class BatchedStreamDecoder:
     """Decode a complete in-memory IAMF stream in frame batches."""
 
     def __init__(self, data: bytes, sound_system: int = 0, bits: int = 16,
-                 batch_frames: int = 128, limiter: bool = True):
+                 batch_frames: int = 128, limiter: bool = True,
+                 normalization_db: float | None = None,
+                 peak_threshold_db: float | None = None):
         self.data = data
         self.bits = bits
         self.batch_frames = batch_frames
@@ -96,6 +98,17 @@ class BatchedStreamDecoder:
             self.elems.append(ctx)
         self.out_gain = db_to_linear(
             q78_to_db(sub.output_mix_gain.default_mix_gain_q78))
+        if normalization_db is not None:
+            # loudness normalization: db2lin(norm - selected loudness)
+            # applied to the mix (IAMF_decoder.c:3480-3484; selection
+            # :3030-3059 picks the loudness of the matching layout)
+            loud = 0.0
+            for i, l in enumerate(sub.layouts):
+                if (l.type == LayoutType.SS_CONVENTION
+                        and l.sound_system == sound_system):
+                    loud = q78_to_db(sub.loudness[i].integrated_loudness)
+                    break
+            self.out_gain *= db_to_linear(normalization_db - loud)
 
         self.cfg = PipelineConfig(
             frame_size=self.frame_size,
@@ -110,7 +123,11 @@ class BatchedStreamDecoder:
                 )
                 for e in self.elems
             ),
-            limiter=LimiterConfig(channels=out_ch) if limiter else None,
+            limiter=LimiterConfig(
+                channels=out_ch,
+                **({"threshold_db": peak_threshold_db}
+                   if peak_threshold_db is not None else {}),
+            ) if limiter else None,
         )
 
     def _open_element(self, item, econf, sound_system, out_ch) -> _ElemCtx:
@@ -281,6 +298,7 @@ class BatchedStreamDecoder:
 
         device_outs = []
         counts = []
+        xs_shapes = None
         for start in range(0, n, B):
             count = min(B, n - start)
             xs_list = []
@@ -297,6 +315,7 @@ class BatchedStreamDecoder:
                              np.zeros((B - count,) + xs.shape[1:], xs.dtype)])
                     xs = jnp.asarray(xs)
                 xs_list.append(xs)
+            xs_shapes = [(x.shape, x.dtype) for x in xs_list]
             n_e = len(self.elems)
             batch = {
                 "x": xs_list,
@@ -323,9 +342,34 @@ class BatchedStreamDecoder:
         ]
         out = np.concatenate(outs, axis=0)
         # limiter look-ahead: drop the first delay samples, drain the tail
-        if self.cfg.limiter is not None:
+        # (iamf_delay_buffer_handle IAMF_decoder.c:3250-3301 pushes zeros
+        # through the limiter delay line at flush)
+        if self.cfg.limiter is not None and counts:
             d = self.cfg.limiter.delay_size
             out = out[d:]
+            need = -(-d // T)  # frames of zero input to flush the delay line
+            avail = B - counts[-1]
+            if avail >= need:
+                # padded frames of the last batch already ran zeros through
+                # the pipeline: their output IS the drained tail
+                c = counts[-1]
+                drain = np.asarray(
+                    device_outs[-1][c:c + need]).reshape(need * T, -1)
+            else:
+                zero_batch = {
+                    "x": [jnp.zeros(s, dt) for s, dt in xs_shapes],
+                    "factors": [factors] * len(self.elems),
+                    "rg_index": [()] * len(self.elems),
+                    "rg_filt": [zeros_rg] * len(self.elems),
+                    "render_prev": mats_b,
+                    "render_cur": mats_b,
+                    "offset_mask": [zeros_bt] * len(self.elems),
+                    "elem_gain": gains_bt,
+                    "out_gain": out_gain_bt,
+                }
+                carry, pcm = decode_frames(self.cfg, carry, zero_batch)
+                drain = np.asarray(pcm[:need]).reshape(need * T, -1)
+            out = np.concatenate([out, drain[:d]], axis=0)
         # edge trims (codec pre-skip etc.): the IAMF spec restricts trimming
         # to the stream head/tail, so the batched path applies the totals to
         # the assembled output (the per-frame api path trims pre-mix; the two

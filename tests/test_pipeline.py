@@ -150,3 +150,66 @@ def test_batched_two_elements(tmp_path):
     m = min(len(ref), len(out))
     d2 = np.abs(ref[:m].astype(np.int64) - out[:m].astype(np.int64))
     assert d2.max() <= 2, f"vs reference: max {d2.max()}"
+
+
+def test_batched_loudness_and_peak(tmp_path):
+    """-l / -p analogues in the batched path vs the per-frame api decoder."""
+    from iamf_tpu.api import IAMFDecoder
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=6)
+    dec = IAMFDecoder()
+    dec.set_sound_system(0)
+    dec.set_normalization_loudness(-12.0)
+    dec.set_peak_limiter_threshold(-2.0)
+    pos = dec.configure(stream)
+    chunks = []
+    while pos < len(stream):
+        consumed, pcm = dec.decode(stream[pos:])
+        if consumed == 0:
+            break
+        pos += consumed
+        if pcm is not None and len(pcm):
+            chunks.append(pcm)
+    _, pcm = dec.decode(None)
+    if pcm is not None and len(pcm):
+        chunks.append(pcm)
+    serial = np.concatenate(chunks, axis=0)
+
+    out = BatchedStreamDecoder(
+        stream, sound_system=0, batch_frames=4,
+        normalization_db=-12.0, peak_threshold_db=-2.0,
+    ).decode_all()
+    assert len(out) == len(serial), f"{len(out)} vs serial {len(serial)}"
+    diff = np.abs(serial.astype(np.int64) - out.astype(np.int64))
+    assert diff.max() <= 1, f"max {diff.max()}"
+
+
+def test_batched_limiter_tail_drain(tmp_path):
+    """Batched output must include the drained limiter look-ahead tail
+    (iamf_delay_buffer_handle analogue), full length = n_frames * 960."""
+    from iamf_tpu.api import IAMFDecoder
+
+    for n_frames, bf in ((8, 4), (8, 8)):  # full last batch & padded
+        stream, _ = vectors.build_pcm_51_stream(n_frames=n_frames)
+        dec = IAMFDecoder()
+        dec.set_sound_system(0)
+        pos = dec.configure(stream)
+        chunks = []
+        while pos < len(stream):
+            consumed, pcm = dec.decode(stream[pos:])
+            if consumed == 0:
+                break
+            pos += consumed
+            if pcm is not None and len(pcm):
+                chunks.append(pcm)
+        _, pcm = dec.decode(None)
+        if pcm is not None and len(pcm):
+            chunks.append(pcm)
+        serial = np.concatenate(chunks, axis=0)
+
+        out = BatchedStreamDecoder(
+            stream, sound_system=0, batch_frames=bf).decode_all()
+        assert len(out) == len(serial), (
+            f"bf={bf}: {len(out)} vs serial {len(serial)}")
+        diff = np.abs(serial.astype(np.int64) - out.astype(np.int64))
+        assert diff.max() <= 1, f"bf={bf}: max {diff.max()}"
