@@ -146,9 +146,14 @@ class FdkEncoder:
 
 class FdkDecoder:
     """AAC-LC decoder, RAW transport + ConfigRaw ASC (as the reference
-    wrapper drives it, aac_multistream_decoder.c:82-101)."""
+    wrapper drives it, aac_multistream_decoder.c:82-101).
 
-    def __init__(self, asc: bytes, max_channels: int = 2):
+    limiter=None keeps fdk's default built-in PCM limiter (what the
+    reference runs: 720-sample look-ahead delay @48 kHz, reported via
+    CStreamInfo.outputDelay); False disables it for pure decoder-vs-decoder
+    comparisons (AAC_PCM_LIMITER_ENABLE)."""
+
+    def __init__(self, asc: bytes, max_channels: int = 2, limiter=None):
         img = image()
         self.img = img
         self.h = img.call(img.sym("aacDecoder_Open"), [0, 1])  # TT_MP4_RAW
@@ -163,8 +168,18 @@ class FdkDecoder:
             raise RuntimeError(f"aacDecoder_ConfigRaw 0x{e:x}")
         # AAC_CONCEAL_METHOD=1 (noise), as the reference sets
         img.call(img.sym("aacDecoder_SetParam"), [self.h, 0x0100, 1])
+        if limiter is not None:  # AAC_PCM_LIMITER_ENABLE
+            img.call(img.sym("aacDecoder_SetParam"),
+                     [self.h, 0x0004, int(limiter)])
         self.maxch = max_channels
         self._out = np.zeros(2048 * 8, np.int16)
+
+    @property
+    def output_delay(self) -> int:
+        """CStreamInfo.outputDelay (valid after the first decode)."""
+        sinfo = self.img.call(
+            self.img.sym("aacDecoder_GetStreamInfo"), [self.h])
+        return struct.unpack_from("<i", ctypes.string_at(sinfo + 68, 4))[0]
 
     def decode(self, au: bytes):
         """-> [frameSize, numChannels] int16."""

@@ -1,0 +1,147 @@
+"""From-scratch AAC-LC decoder (native/src/aac/aac_frame.cc) differential
+tests against the fdk-aac oracle (COFF-loaded reference binary).
+
+The oracle runs with fdk's built-in PCM limiter disabled so the comparison
+is pure decoder-vs-decoder (with the limiter, fdk delays output 720
+samples and gain-rides hot content). Content matrix covers long/short
+window sequences (transients), TNS and M/S (low bitrates), PNS (noise at
+low bitrates — our decoder replicates fdk's noise generator exactly),
+escape codes (loud wideband content), mono SCE and stereo CPE.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("iamf_tpu.codecs.aac.fdk")
+
+FDK_DELAY = 720
+
+
+def _native():
+    from iamf_tpu.codecs.aac.decoder import _load_native
+
+    return _load_native()
+
+
+def _decode_native(lib, aus, ch, sr_index=3):
+    h = lib.iamf_aac_open(sr_index, ch)
+    assert h
+    out = np.zeros(1024 * ch, np.float32)
+    res = []
+    for au in aus:
+        r = lib.iamf_aac_decode(
+            h, au, len(au), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        assert r == 1024, f"native decode error {r}"
+        # the s16 quantization the reference wrapper applies (fdk emits
+        # int16, so hot content clips there too)
+        res.append(np.clip(np.rint(out.reshape(ch, 1024).T), -32768,
+                           32767).astype(np.float32))
+    lib.iamf_aac_close(h)
+    return np.concatenate(res)
+
+
+def _decode_fdk(asc, aus, ch, limiter=False):
+    from iamf_tpu.codecs.aac.fdk import FdkDecoder
+
+    dec = FdkDecoder(asc, ch, limiter=limiter)
+    return np.concatenate([dec.decode(au)[0].astype(np.float32) for au in aus])
+
+
+def _snr_after_shift(ours, ref, shift=0):
+    if shift:
+        ours, ref = ours[:-shift], ref[shift:]
+    a, b = ours.astype(np.float64), ref.astype(np.float64)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    return 10 * np.log10((b ** 2).mean() / (((a - b) ** 2).mean() + 1e-12))
+
+
+def _content(n):
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / 48000.0
+    tone = 0.3 * 32767 * (np.sin(2 * np.pi * 440 * t)
+                          + 0.3 * np.sin(2 * np.pi * 997 * t))
+    trans = tone.copy()
+    for k in range(4000, n - 200, 17000):
+        trans[k:k + 150] += 18000 * np.hanning(150)  # forces EIGHT_SHORT
+    noise = rng.standard_normal(n) * 6000
+    loud = np.clip(rng.standard_normal(n) * 15000, -32000, 32000)
+    return {"tone": tone, "transients": trans, "noise": noise, "loud": loud}
+
+
+@pytest.mark.parametrize("content", ["tone", "transients", "noise", "loud"])
+@pytest.mark.parametrize("ch,bitrate", [(1, 64000), (1, 24000),
+                                        (2, 128000), (2, 48000)])
+def test_differential_vs_fdk(content, ch, bitrate):
+    from iamf_tpu.codecs.aac.fdk import FdkEncoder
+
+    lib = _native()
+    n = 1024 * 14
+    base = _content(n)[content]
+    if ch == 2:
+        rng = np.random.default_rng(3)
+        x = np.stack([base, np.roll(base, 7) * 0.7
+                      + rng.standard_normal(n) * 300], 1)
+    else:
+        x = base[:, None]
+    x = x.astype(np.int16)
+    enc = FdkEncoder(ch, 48000, bitrate * ch // 2)
+    aus = enc.encode(x)
+    assert len(aus) >= 12
+    ours = _decode_native(lib, aus, ch)
+    ref = _decode_fdk(enc.asc, aus, ch)
+    snr = _snr_after_shift(ours, ref)
+    assert snr > 70.0, f"{content} ch={ch} {bitrate}: SNR {snr:.1f} dB"
+
+
+def test_spectrum_export_matches_host_filterbank():
+    """decode_spectrum + a numpy filterbank == full host decode: the export
+    path carries everything the device IMDCT needs."""
+    from iamf_tpu.codecs.aac.fdk import FdkEncoder
+
+    lib = _native()
+    n = 1024 * 8
+    x = _content(n)["transients"].astype(np.int16)[:, None]
+    enc = FdkEncoder(1, 48000, 64000)
+    aus = enc.encode(x)
+    full = _decode_native(lib, aus, 1)
+
+    h = lib.iamf_aac_open(3, 1)
+    spec = np.zeros(1024, np.float32)
+    meta = np.zeros(3, np.int32)
+    from iamf_tpu.codecs.aac import tpu_synth
+
+    carry = np.zeros((1, 1024), np.float32)
+    outs = []
+    for au in aus:
+        r = lib.iamf_aac_decode_spectrum(
+            h, au, len(au),
+            spec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        assert r == 1024
+        y, carry = tpu_synth.reference_filterbank(
+            spec[None], int(meta[0]), int(meta[1]), int(meta[2]), carry)
+        outs.append(y[0])
+    lib.iamf_aac_close(h)
+    got = np.clip(np.rint(np.concatenate(outs)[:, None]), -32768, 32767)
+    err = np.abs(got - full)
+    assert err.max() <= 1.0, f"max err {err.max()}"
+
+
+def test_error_on_garbage():
+    lib = _native()
+    h = lib.iamf_aac_open(3, 1)
+    out = np.zeros(1024, np.float32)
+    r = lib.iamf_aac_decode(
+        h, b"\xff" * 64, 64, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    assert r < 0
+    lib.iamf_aac_close(h)
+
+
+def test_open_rejects_bad_config():
+    lib = _native()
+    assert not lib.iamf_aac_open(13, 1)
+    assert not lib.iamf_aac_open(3, 3)

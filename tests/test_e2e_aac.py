@@ -48,21 +48,25 @@ def _expected_via_pcm(all_packets, layout, n_frames, sound_system):
     # re-derive ASC exactly as the stream's decoder config carries it
     enc_ref = FdkEncoder(2, 48000, 128000)
     planar = []
+    delay = 0
     for s in range(nsub):
         ch = 2 if s < ncoupled else 1
         dec = FdkDecoder(patch_asc_channels(enc_ref.asc, ch), ch)
         outs = [dec.decode(a)[0] for a in all_packets[s][:n_frames]]
-        planar.append(np.concatenate(outs, 0))  # [T, ch]
-    pcm = np.concatenate(planar, axis=1).astype(np.int16)
+        delay = dec.output_delay  # fdk limiter look-ahead, trimmed by the
+        planar.append(np.concatenate(outs, 0))  # [T, ch]    IAMF aac path
+    pcm = np.concatenate(planar, axis=1)[delay:].astype(np.int16)
     stream, _ = vectors.build_pcm_layout_stream(
         layout, n_frames=n_frames, frame_size=1024, pcm_override=pcm
     )
     return ours_decode(stream, sound_system)
 
 
-def test_aac_stereo_ss0():
+def test_aac_stereo_ss0(monkeypatch):
+    """IAMF AAC plumbing, fdk backend: bit-exact vs fdk-decoded PCM repack."""
     from test_e2e_pcm import ours_decode
 
+    monkeypatch.setenv("IAMF_AAC_BACKEND", "fdk")
     stream, _src, packets = vectors.build_aac_layout_stream(
         ChannelLayout.STEREO, n_frames=8
     )
@@ -74,9 +78,10 @@ def test_aac_stereo_ss0():
     assert diff.max() == 0, f"max {diff.max()}"
 
 
-def test_aac_51_downmix():
+def test_aac_51_downmix(monkeypatch):
     from test_e2e_pcm import ours_decode
 
+    monkeypatch.setenv("IAMF_AAC_BACKEND", "fdk")
     stream, _src, packets = vectors.build_aac_layout_stream(
         ChannelLayout.L510, n_frames=6
     )
@@ -85,6 +90,38 @@ def test_aac_51_downmix():
     n = min(len(ours), len(exp))
     diff = np.abs(ours[:n].astype(np.int64) - exp[:n].astype(np.int64))
     assert diff.max() == 0, f"max {diff.max()}"
+
+
+def _e2e_native_vs_fdk(layout, n_frames, sound_system, monkeypatch,
+                       min_snr=60.0):
+    """Decode the same IAMF stream with the from-scratch native AAC-LC
+    decoder and with the fdk oracle backend. Both align at the IAMF layer
+    (the fdk path discovers and trims fdk's internal limiter delay exactly
+    as the reference does); equal up to fixed-point rounding."""
+    from test_e2e_pcm import ours_decode
+
+    stream, _src, _ = vectors.build_aac_layout_stream(
+        layout, n_frames=n_frames)
+    monkeypatch.setenv("IAMF_AAC_BACKEND", "native")
+    ours = ours_decode(stream, sound_system)
+    monkeypatch.setenv("IAMF_AAC_BACKEND", "fdk")
+    ref = ours_decode(stream, sound_system)
+    n = min(len(ours), len(ref))
+    a, b = ours[:n].astype(np.float64), ref[:n].astype(np.float64)
+    snr = 10 * np.log10((b ** 2).mean() / (((a - b) ** 2).mean() + 1e-12))
+    assert snr > min_snr, f"SNR {snr:.1f} dB"
+
+
+def test_aac_native_stereo_ss0(monkeypatch):
+    _e2e_native_vs_fdk(ChannelLayout.STEREO, 10, 0, monkeypatch)
+
+
+def test_aac_native_51_downmix(monkeypatch):
+    _e2e_native_vs_fdk(ChannelLayout.L510, 6, 0, monkeypatch)
+
+
+def test_aac_native_714_to_ss9(monkeypatch):
+    _e2e_native_vs_fdk(ChannelLayout.L714, 6, 9, monkeypatch)
 
 
 def test_asc_channel_patch():
