@@ -32,7 +32,7 @@ def build_stream(seconds: float = 30.0, content: str = "pcm"):
     from iamf_tpu.constants import ChannelLayout
     import vectors
 
-    frame_size = 960
+    frame_size = 1024 if content == "aac" else 960
     n_frames = int(seconds * 48000 / frame_size)
     if content == "opus":
         # BASELINE config-1 class content on the 7.1.4 headline layout:
@@ -42,6 +42,13 @@ def build_stream(seconds: float = 30.0, content: str = "pcm"):
             ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size,
             amp=0.4
         )
+    if content == "aac":
+        # AAC-LC substreams through the from-scratch decoder: host
+        # entropy/tools (native/src/aac) + device filterbank
+        # (codecs/aac/tpu_synth.py)
+        s, _src, _pkts = vectors.build_aac_layout_stream(
+            ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size)
+        return s, _src
     return vectors.build_pcm_layout_stream(
         ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size, amp=0.5
     )
@@ -95,7 +102,9 @@ def main() -> None:
 
     ref_rtx = None
     ref_bin = "/tmp/refplayer_std/iamfplayer"
-    if os.path.exists(ref_bin):
+    # the reference build in this environment has no AAC codec library, so
+    # it cannot decode aac content — skip the bogus comparison
+    if os.path.exists(ref_bin) and content != "aac":
         import tempfile
 
         d = tempfile.mkdtemp()

@@ -70,12 +70,14 @@ def _tables():
         return ((2.0 / N)
                 * np.cos(2.0 * np.pi / N * (n + n0) * (k + 0.5)))  # [N, N/2]
 
+    # numpy (not device) constants: jit traces convert them per-trace, so
+    # nothing cached here can leak a tracer across jit calls
     return dict(
-        wl=jnp.asarray(wl, jnp.float32),
-        wr=jnp.asarray(wr, jnp.float32),
-        short_half=jnp.asarray(short_half, jnp.float32),
-        b_long=jnp.asarray(imdct_basis(2048).T, jnp.float32),   # [1024, 2048]
-        b_short=jnp.asarray(imdct_basis(256).T, jnp.float32),   # [128, 256]
+        wl=np.asarray(wl, np.float32),
+        wr=np.asarray(wr, np.float32),
+        short_half=np.asarray(short_half, np.float32),
+        b_long=np.asarray(imdct_basis(2048).T, np.float32),   # [1024, 2048]
+        b_short=np.asarray(imdct_basis(256).T, np.float32),   # [128, 256]
     )
 
 
@@ -97,16 +99,17 @@ def _windowed_frames(p: SynthParams) -> jax.Array:
 
     # long path
     tl = (p.spec.reshape(B * L, 1024) @ t["b_long"]).reshape(B, L, 2048)
-    wl = t["wl"][p.win_seq, p.prev_shape]  # [B, L, 1024]
-    wr = t["wr"][p.win_seq, p.shape]
+    wl = jnp.asarray(t["wl"])[p.win_seq, p.prev_shape]  # [B, L, 1024]
+    wr = jnp.asarray(t["wr"])[p.win_seq, p.shape]
     frame_long = jnp.concatenate(
         [tl[..., :1024] * wl, tl[..., 1024:] * wr], axis=-1)
 
     # short path: 8 x 128-line IMDCTs, intra-frame OLA at offsets 448+128j
     ts = (p.spec.reshape(B * L * 8, 128) @ t["b_short"]).reshape(
         B, L, 8, 256)
-    sh_l = t["short_half"][p.shape]            # [B, L, 128]
-    sh_l0 = t["short_half"][p.prev_shape]      # window 0 left half
+    sh = jnp.asarray(t["short_half"])
+    sh_l = sh[p.shape]                         # [B, L, 128]
+    sh_l0 = sh[p.prev_shape]                   # window 0 left half
     sh_r = sh_l[..., ::-1]
     frame_short = jnp.zeros((B, L, 2048), jnp.float32)
     for j in range(8):

@@ -45,6 +45,7 @@ class _ElemCtx:
     input_scale: float
     raw_input: bool
     opus: bool
+    aac: bool
     gain: float  # element default mix gain (linear)
 
 
@@ -92,6 +93,7 @@ class BatchedStreamDecoder:
         self.frame_size = None
         self.elems: list[_ElemCtx] = []
         self.opus_synth = None
+        self.aac_synth = None
         for econf in sub.elements:
             item = self.db.elements[econf.element_id]
             ctx = self._open_element(item, econf, sound_system, out_ch)
@@ -205,12 +207,19 @@ class BatchedStreamDecoder:
             from ..codecs.opus import tpu_synth
 
             self.opus_synth = tpu_synth
+        aac = (hasattr(codec, "decode_spectrum_batch")
+               and self.frame_size == 1024
+               and getattr(codec, "backend", None) != "fdk")
+        if aac and self.aac_synth is None:
+            from ..codecs.aac import tpu_synth as aac_tpu_synth
+
+            self.aac_synth = aac_tpu_synth
         return _ElemCtx(
             stream=stream, codec=codec,
             substream_ids=list(el.substream_ids),
             demix_spec=demix_spec, render_mat=render_mat, n_in=n_in,
             input_scale=input_scale, raw_input=raw_input, opus=opus,
-            gain=gain,
+            aac=aac, gain=gain,
         )
 
     @property
@@ -240,6 +249,22 @@ class BatchedStreamDecoder:
         return self.opus_synth.synthesize(
             params, syn_carry, chunk=self.opus_synth.pick_chunk(d["min_period"]))
 
+    def _aac_batch(self, e: _ElemCtx, packets, start, count, B, syn_carry):
+        """Host entropy decode + device filterbank for one AAC batch."""
+        blk = [[p[k] for p in packets] for k in range(start, start + count)]
+        d = e.codec.decode_spectrum_batch(blk)
+        pad = B - count
+        if pad:
+            d = {k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in d.items()}
+        params = self.aac_synth.SynthParams(
+            spec=jnp.asarray(d["spec"]),
+            win_seq=jnp.asarray(d["win_seq"]),
+            shape=jnp.asarray(d["shape"]),
+            prev_shape=jnp.asarray(d["prev_shape"]))
+        return self.aac_synth.synthesize(params, syn_carry)
+
     def decode_all(self, fetch: bool = True):
         """Decode everything; returns [samples, out_channels] int PCM.
 
@@ -266,6 +291,10 @@ class BatchedStreamDecoder:
             if e.opus:
                 elem_all_x.append(None)
                 elem_syn_carry.append(self.opus_synth.init_carry(
+                    sum(ch for _, ch in e.codec._decoders)))
+            elif e.aac:
+                elem_all_x.append(None)
+                elem_syn_carry.append(self.aac_synth.init_carry(
                     sum(ch for _, ch in e.codec._decoders)))
             elif e.raw_input:
                 elem_all_x.append(e.codec.decode_batch_raw(packets, T)[0])
@@ -305,6 +334,10 @@ class BatchedStreamDecoder:
             for i, e in enumerate(self.elems):
                 if e.opus:
                     xs, elem_syn_carry[i] = self._opus_batch(
+                        e, elem_packets[i], start, count, B,
+                        elem_syn_carry[i])
+                elif e.aac:
+                    xs, elem_syn_carry[i] = self._aac_batch(
                         e, elem_packets[i], start, count, B,
                         elem_syn_carry[i])
                 else:

@@ -213,3 +213,36 @@ def test_batched_limiter_tail_drain(tmp_path):
             f"bf={bf}: {len(out)} vs serial {len(serial)}")
         diff = np.abs(serial.astype(np.int64) - out.astype(np.int64))
         assert diff.max() <= 1, f"bf={bf}: max {diff.max()}"
+
+
+def test_batched_aac_device_filterbank():
+    """AAC through the batched path: host entropy/tools decode feeds the
+    device filterbank (spectrum export -> batched IMDCT + windowed OLA).
+    Must track the frame-serial api decoder (host filterbank) to the s16
+    rounding boundary."""
+    from test_e2e_pcm import ours_decode
+
+    stream, _src, _ = vectors.build_aac_layout_stream(
+        ChannelLayout.STEREO, n_frames=11
+    )
+    serial = ours_decode(stream, 0)
+    dec = BatchedStreamDecoder(stream, sound_system=0, batch_frames=4)
+    assert dec.aac_synth is not None
+    out = dec.decode_all()
+    n = min(len(serial), len(out))
+    assert n > 0
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 2, f"batched aac differs: max {diff.max()}"
+
+
+def test_batched_aac_714_downmix():
+    from test_e2e_pcm import ours_decode
+
+    stream, _src, _ = vectors.build_aac_layout_stream(
+        ChannelLayout.L714, n_frames=7)
+    serial = ours_decode(stream, 9)
+    out = BatchedStreamDecoder(stream, sound_system=9,
+                               batch_frames=3).decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 2, f"max {diff.max()}"
