@@ -169,6 +169,12 @@ extern BandTap g_band_tap;
 int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
                       float* pcm, int frame_size, EntDec* dec);
 
+// Band-restricted decode for Opus hybrid frames (start band 17, end per
+// bandwidth); `dec` is the range decoder shared with the SILK layer.
+int celt_decode_frame_bands(CeltDecoder* st, const unsigned char* data,
+                            int len, float* pcm, int frame_size, EntDec* dec,
+                            int start_band, int end_band);
+
 // Entropy/PVQ/denormalise only: export the spectrum ([CC][960]) for the
 // device-side synthesis pipeline; updates all decoder state like
 // celt_decode_frame but performs no time-domain synthesis.

@@ -86,7 +86,8 @@ static void deemphasis(float* const* in, float* pcm, int N, int C, float coef0,
 static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
                                 int len, float* pcm, int frame_size,
                                 EntDec* dec, float* freq_export,
-                                int* transient_out) {
+                                int* transient_out, int start_band = 0,
+                                int end_band = NB_EBANDS) {
   const short* eBands = mode_eBands();
   int C = st->stream_channels;
   int CC = st->channels;
@@ -96,7 +97,7 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
     if (SHORT_MDCT_SIZE << LM == N) break;
   if (LM > MAX_LM) return -1;
   int M = 1 << LM;
-  int start = 0, end = NB_EBANDS, effEnd = NB_EBANDS;
+  int start = start_band, end = end_band, effEnd = end_band;
   int total_bits = len * 8;
 
   float* oldBandE = st->oldEBands;
@@ -424,6 +425,13 @@ int celt_decode_frame(CeltDecoder* st, const unsigned char* data, int len,
                       float* pcm, int frame_size, EntDec* dec) {
   return celt_decode_frame_ex(st, data, len, pcm, frame_size, dec, nullptr,
                               nullptr);
+}
+
+int celt_decode_frame_bands(CeltDecoder* st, const unsigned char* data,
+                            int len, float* pcm, int frame_size, EntDec* dec,
+                            int start_band, int end_band) {
+  return celt_decode_frame_ex(st, data, len, pcm, frame_size, dec, nullptr,
+                              nullptr, start_band, end_band);
 }
 
 int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,

@@ -12,6 +12,7 @@
 #include <cstring>
 
 #include "celt.h"
+#include "silk.h"
 
 using namespace iamf_opus;
 
@@ -19,7 +20,9 @@ namespace {
 
 struct OpusDec {
   CeltDecoder celt;
+  iamf_silk::SilkDecoder silk;
   int channels;
+  int prev_mode = -1;  // 0 silk, 1 hybrid, 2 celt
   float softclip_mem[2];
 };
 
@@ -87,6 +90,8 @@ struct PacketInfo {
   int mode;        // 0 silk, 1 hybrid, 2 celt
   int frame_size;  // samples at 48 kHz
   int stereo;
+  int silk_khz;    // SILK internal rate (8/12/16), hybrid always 16
+  int end_band;    // CELT end band (hybrid: 19 SWB / 21 FB)
   int nb_frames;
   const unsigned char* frames[48];
   int sizes[48];
@@ -110,16 +115,20 @@ int parse_packet(const unsigned char* data, int len, PacketInfo* pi) {
   int code = toc & 3;
 
   static const int celt_sizes[4] = {120, 240, 480, 960};
+  pi->silk_khz = 16;
+  pi->end_band = 21;
   if (config >= 16) {
     pi->mode = 2;
     pi->frame_size = celt_sizes[config & 3];
   } else if (config >= 12) {
     pi->mode = 1;
     pi->frame_size = (config & 1) ? 960 : 480;
+    pi->end_band = config < 14 ? 19 : 21;  // SWB / FB
   } else {
     pi->mode = 0;
     static const int silk_sizes[4] = {480, 960, 1920, 2880};
     pi->frame_size = silk_sizes[config % 4];
+    pi->silk_khz = config < 4 ? 8 : (config < 8 ? 12 : 16);
   }
 
   const unsigned char* p = data + 1;
@@ -216,24 +225,67 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
   OpusDec* d = (OpusDec*)ptr;
   PacketInfo pi;
   if (parse_packet(data, len, &pi) < 0) return -4;
-  if (pi.mode != 2) return -10;  // SILK/hybrid pending
   int pkt_ch = pi.stereo ? 2 : 1;
   if (pkt_ch != d->channels) {
     // stream channel count must match (IAMF opens per-substream decoders
     // with the exact channel count)
     d->celt.stream_channels = pkt_ch;
   }
+  // state resets on mode transitions (opus_decoder.c semantics)
+  if ((pi.mode == 0 || pi.mode == 1) && d->prev_mode == 2) d->silk.reset();
+  if (pi.mode != 0 && d->prev_mode >= 0 && d->prev_mode != pi.mode)
+    d->celt.init(d->channels);
   int total = 0;
   for (int f = 0; f < pi.nb_frames; ++f) {
     if (total + pi.frame_size > max_samples) return -2;
+    float* pcm_out = out + (size_t)total * d->channels;
     EntDec dec;
     dec.init(pi.frames[f], (uint32_t)pi.sizes[f]);
-    int ret = celt_decode_frame(&d->celt, pi.frames[f], pi.sizes[f],
-                                out + (size_t)total * d->channels,
-                                pi.frame_size, &dec);
-    if (ret < 0) return ret;
-    total += ret;
+    if (pi.mode == 2) {
+      int ret = celt_decode_frame(&d->celt, pi.frames[f], pi.sizes[f],
+                                  pcm_out, pi.frame_size, &dec);
+      if (ret < 0) return ret;
+      total += ret;
+      continue;
+    }
+    // SILK / hybrid: LP layer from the shared range decoder
+    int ms = pi.frame_size / 48;
+    int16_t silk_buf[2 * 2880];
+    int done = d->silk.decode(dec, pi.silk_khz, pkt_ch, d->channels, ms, 1,
+                              silk_buf);
+    if (done < 0 || dec.error) return -3;
+    if (done != pi.frame_size) return -3;
+    for (int i = 0; i < done * d->channels; ++i)
+      pcm_out[i] = silk_buf[i] * (1.f / 32768.f);
+    // redundancy signalling (RFC 6716 §4.4 transition side information):
+    // parsed for bitstream conformance; the redundant 5 ms CELT frame is
+    // only used to smooth mode transitions and is not blended here.
+    int redundancy = 0, redundancy_bytes = 0, celt_to_silk = 0;
+    if (dec.tell() + 17 + 20 * (pi.mode == 1) <= 8 * pi.sizes[f]) {
+      redundancy = pi.mode == 1 ? dec.bit_logp(12) : 1;
+      if (redundancy) {
+        celt_to_silk = dec.bit_logp(1);
+        redundancy_bytes = pi.mode == 1
+                               ? (int)dec.uint(256) + 2
+                               : pi.sizes[f] - ((dec.tell() + 7) >> 3);
+        if (redundancy_bytes < 0 || redundancy_bytes > pi.sizes[f])
+          return -3;
+      }
+    }
+    (void)celt_to_silk;
+    if (pi.mode == 1) {
+      // hybrid: CELT bands 17..end from the same range decoder
+      int celt_len = pi.sizes[f] - redundancy_bytes;
+      float celt_pcm[2 * 960];
+      int ret = celt_decode_frame_bands(&d->celt, pi.frames[f], celt_len,
+                                        celt_pcm, pi.frame_size, &dec, 17,
+                                        pi.end_band);
+      if (ret < 0) return ret;
+      for (int i = 0; i < ret * d->channels; ++i) pcm_out[i] += celt_pcm[i];
+    }
+    total += pi.frame_size;
   }
+  d->prev_mode = pi.mode;
   // match reference: soft clip + s16 quantize + scale back
   // (the reference wrapper uses the opus s16 decode API,
   // IAMF_opus_decoder.c:130-136, which soft-clips in the float build)
