@@ -202,7 +202,8 @@ class BatchedStreamDecoder:
         if raw_input:
             input_scale = 1.0 / float(getattr(codec, "scale", 1.0))
         opus = (hasattr(codec, "decode_spectrum_batch")
-                and self.frame_size == 960)
+                and self.frame_size == 960
+                and self._opus_celt_960(el))
         if opus and self.opus_synth is None:
             from ..codecs.opus import tpu_synth
 
@@ -221,6 +222,19 @@ class BatchedStreamDecoder:
             input_scale=input_scale, raw_input=raw_input, opus=opus,
             aac=aac, gain=gain,
         )
+
+    def _opus_celt_960(self, el) -> bool:
+        """The device CELT synthesis covers CELT-only 20 ms packets (the
+        IAMF operating point). SILK/hybrid TOCs fall back to the host
+        decoder (still from scratch, bit-exact for SILK)."""
+        for sid in el.substream_ids:
+            pkts = self.frames_per_substream.get(sid) or []
+            if not pkts:
+                continue
+            toc = bytes(pkts[0])[0] if len(pkts[0]) else 0
+            if toc >> 3 < 16 or (toc & 3) != 0 or ((toc >> 3) & 3) != 3:
+                return False
+        return True
 
     @property
     def n_frames(self) -> int:

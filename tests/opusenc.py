@@ -35,11 +35,18 @@ def _lib():
     return lib
 
 
+MODE_SILK_ONLY = 1000
+MODE_HYBRID = 1001
+OPUS_SET_MAX_BANDWIDTH = 4004
+OPUS_BANDWIDTH_WIDEBAND = 1103
+
+
 def encode_opus_stream(
     pcm: np.ndarray,  # [n, ch] float32 in [-1, 1]
     frame_size: int = 960,
     bitrate: int = 96000,
     force_celt: bool = True,
+    mode: str = None,  # "celt" | "silk" | "hybrid" (overrides force_celt)
 ) -> tuple[list[bytes], int]:
     """Encode -> (packets, pre_skip)."""
     lib = _lib()
@@ -50,9 +57,19 @@ def encode_opus_stream(
     assert enc and err.value == 0
     lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BITRATE,
                          ctypes.c_int(bitrate))
-    if force_celt:
+    if mode is None:
+        mode = "celt" if force_celt else None
+    if mode == "celt":
         lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_FORCE_MODE,
                              ctypes.c_int(MODE_CELT_ONLY))
+    elif mode == "silk":
+        lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_FORCE_MODE,
+                             ctypes.c_int(MODE_SILK_ONLY))
+        lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_MAX_BANDWIDTH,
+                             ctypes.c_int(OPUS_BANDWIDTH_WIDEBAND))
+    elif mode == "hybrid":
+        lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_FORCE_MODE,
+                             ctypes.c_int(MODE_HYBRID))
     look = ctypes.c_int(0)
     lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_GET_LOOKAHEAD,
                          ctypes.byref(look))

@@ -52,3 +52,42 @@ def test_opus_714(tmp_path):
     assert len(ours) == len(ref)
     s = snr_db(ref, ours)
     assert s > 60, f"SNR {s:.1f} dB"
+
+
+def test_opus_silk_stereo_vs_reference(tmp_path):
+    """SILK-mode Opus IAMF stream vs the reference player. Our SILK decode
+    is bit-exact vs libopus, so the whole pipeline should agree to the PCM
+    pipeline's exactness."""
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.STEREO, n_frames=12, bitrate=32000, mode="silk")
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    ours = ours_decode(stream, 0)
+    n = min(len(ref), len(ours))
+    assert n > 0
+    diff = np.abs(ref[:n].astype(np.int64) - ours[:n].astype(np.int64))
+    assert diff.max() <= 1, f"max {diff.max()}"
+
+
+def test_opus_hybrid_stereo_vs_reference(tmp_path):
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.STEREO, n_frames=12, bitrate=48000, mode="hybrid")
+    ref = ref_decode(stream, tmp_path, sound_system="0")
+    ours = ours_decode(stream, 0)
+    s = snr_db(ref, ours)
+    assert s > 60, f"SNR {s:.1f} dB"
+
+
+def test_opus_silk_batched_fallback():
+    """The batched pipeline detects non-CELT TOCs and falls back to the
+    host decoder; output matches the frame-serial api path."""
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.STEREO, n_frames=9, bitrate=32000, mode="silk")
+    serial = ours_decode(stream, 0)
+    dec = BatchedStreamDecoder(stream, sound_system=0, batch_frames=4)
+    assert all(not e.opus for e in dec.elems)
+    out = dec.decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 1, f"max {diff.max()}"

@@ -357,9 +357,11 @@ def build_opus_layout_stream(
     amp: float = 0.4,
     bitrate: int = 96000,
     seed: int = 21,
+    mode: str = "celt",  # "celt" | "silk" | "hybrid"
 ) -> tuple[bytes, np.ndarray]:
     """Channel-based Opus stream (BASELINE config 1 class): substreams
-    encoded with libopus (forced CELT); pre-skip carried as trim_start."""
+    encoded with libopus (forced CELT by default; SILK/hybrid selectable);
+    pre-skip carried as trim_start."""
     from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
     from opusenc import encode_opus_stream, opus_decoder_conf
 
@@ -375,7 +377,8 @@ def build_opus_layout_stream(
     for s in range(nsub):
         want = 2 if s < ncoupled else 1
         pkts, look = encode_opus_stream(
-            pcm[:, ch : ch + want], frame_size=frame_size, bitrate=bitrate
+            pcm[:, ch : ch + want], frame_size=frame_size, bitrate=bitrate,
+            mode=mode,
         )
         all_packets.append(pkts)
         pre_skip = look
