@@ -383,9 +383,16 @@ class BatchedStreamDecoder:
             if device_outs:
                 device_outs[-1].block_until_ready()
             return device_outs
+        # Fetch whole batch arrays concurrently and slice host-side: the
+        # axon-tunneled d2h path is chunk-size sensitive (sliced/lazy
+        # arrays and very large single transfers are an order of magnitude
+        # slower than ~4 MB whole-buffer fetches in parallel).
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(4) as ex:
+            fetched = list(ex.map(np.asarray, device_outs))
         outs = [
-            np.asarray(pcm[:c]).reshape(c * T, -1)
-            for pcm, c in zip(device_outs, counts)
+            f[:c].reshape(c * T, -1) for f, c in zip(fetched, counts)
         ]
         out = np.concatenate(outs, axis=0)
         # limiter look-ahead: drop the first delay samples, drain the tail
@@ -400,8 +407,7 @@ class BatchedStreamDecoder:
                 # padded frames of the last batch already ran zeros through
                 # the pipeline: their output IS the drained tail
                 c = counts[-1]
-                drain = np.asarray(
-                    device_outs[-1][c:c + need]).reshape(need * T, -1)
+                drain = fetched[-1][c:c + need].reshape(need * T, -1)
             else:
                 zero_batch = {
                     "x": [jnp.zeros(s, dt) for s, dt in xs_shapes],
