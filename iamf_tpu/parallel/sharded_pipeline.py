@@ -110,6 +110,118 @@ def sharded_decode_step(mesh: Mesh, cfg: PipelineConfig):
     return fn
 
 
+def substream_parallel_render(mesh: Mesh, render_mat: np.ndarray):
+    """Substream parallelism (SURVEY §2.4 'TP analogue'): the planar
+    channels decoded from an element's substreams live sharded over the
+    'substreams' axis; they are independent until the demix/render stage,
+    which needs them all — one `all_gather` over ICI, then each chip
+    computes its slice of the render matmul's output rows (tensor-parallel
+    over output channels).
+
+    fn(x [C, T], mat [out, C]) -> [out, T]; x rows and mat output rows are
+    sharded over 'substreams'.
+    """
+    out_ch, c_in = render_mat.shape
+    n = mesh.shape["substreams"]
+    assert c_in % n == 0 and out_ch % n == 0
+
+    def local(x_local, mat_local):
+        # x_local: [C/n, T] -> gather all substream channels (ICI)
+        x_full = jax.lax.all_gather(
+            x_local, "substreams", axis=0, tiled=True)  # [C, T]
+        return mat_local @ x_full  # [out/n, T]
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("substreams", None), P("substreams", None)),
+            out_specs=P("substreams", None),
+        )
+    )
+
+
+def time_sharded_limiter(mesh: Mesh, cfg: LimiterConfig):
+    """Sequence/time parallelism (SURVEY §2.4 'SP/CP analogue'): a long PCM
+    timeline is split into per-chip chunks; the limiter's look-ahead delay
+    line needs each chunk's left neighbour's last `delay_size` samples — a
+    single `ppermute` halo exchange over ICI. Each shard then runs the
+    look-ahead limiter locally seeded from its halo (overlap-save; exact
+    whenever no gain excursion older than the halo is still releasing —
+    the roll-distance idiom for the envelope recurrence).
+
+    fn(x [C, T] sharded over T) -> [C, T] sharded over T: the limited
+    signal with the limiter's usual global look-ahead latency (out[t]
+    carries x[t - delay_size]·gain; the stream layer trims the head as in
+    the serial path).
+    """
+    D = cfg.delay_size
+    n = mesh.shape["time"]
+    perm = [(i, i + 1) for i in range(n - 1)]
+
+    def local(x_local):
+        C, Tl = x_local.shape
+        # halo: last D samples of the left neighbour (zeros for shard 0)
+        tail = x_local[:, -D:]
+        halo = jax.lax.ppermute(tail, "time", perm)  # shard i gets i-1's
+        seq = jnp.concatenate([halo, x_local], axis=1)  # [C, D+Tl]
+        from ..dsp.limiter import process_block
+
+        state = init_state(cfg)
+        state = jax.tree.map(
+            lambda a: jax.lax.pcast(a, ("time",), to="varying"), state)
+        _, y = process_block(cfg, state, seq)
+        # process_block outputs the D-delayed signal: y[:, D:] are this
+        # shard's own samples with the delay compensated
+        return y[:, D:]
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, "time"),), out_specs=P(None, "time"),
+        )
+    )
+
+
+def two_stage_pipeline(mesh: Mesh, render_mat: np.ndarray, bits: int = 16):
+    """Pipeline parallelism (SURVEY §2.4 'PP analogue'): stage 0 (render
+    matmul) and stage 1 (quantize+interleave) on different chips;
+    microbatch activations flow stage0 -> stage1 through a `ppermute`
+    inside a `lax.scan` step (software pipelining: stage 0 renders
+    microbatch i while stage 1 quantizes i-1; one bubble step drains).
+
+    fn(x [M, C, T] float in [-1,1]) -> PCM [M, T, out] int16.
+    """
+    mat = jnp.asarray(render_mat, jnp.float32)
+
+    def local(x_local):
+        stage = jax.lax.axis_index("stage")
+        M, C, T = x_local.shape
+        xpad = jnp.concatenate(
+            [x_local, jnp.zeros((1, C, T), x_local.dtype)])  # drain bubble
+
+        def step(prev_act, xm):
+            rendered = mat @ xm  # stage-0 work
+            act = jax.lax.ppermute(rendered, "stage", [(0, 1)])
+            y = quantize_interleave(prev_act, bits)  # stage-1 work
+            return act, y
+
+        init = jnp.zeros((mat.shape[0], T), jnp.float32)
+        init = jax.lax.pcast(init, ("stage",), to="varying")
+        _, ys = jax.lax.scan(step, init, xpad)  # [M+1, T, out]
+        ys = ys[1:]  # first output is the fill bubble
+        return ys * jnp.where(stage == 1, 1, 0).astype(ys.dtype)
+
+    def fn(x):
+        parts = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, None, None),),
+            out_specs=P("stage", None, None),
+        )(x)
+        return parts[x.shape[0]:]  # stage 1's partition holds the result
+
+    return jax.jit(fn)
+
+
 def dryrun(n_devices: int) -> None:
     """Compile + execute one sharded decode step on an n-device mesh with
     tiny shapes (driver validation hook)."""
