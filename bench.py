@@ -59,7 +59,7 @@ def main() -> None:
 
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
     content = os.environ.get("BENCH_CONTENT", "pcm")
-    n_streams = int(os.environ.get("BENCH_STREAMS", "0"))
+    n_streams = int(os.environ.get("BENCH_STREAMS", "4"))
     if "--content" in sys.argv:
         content = sys.argv[sys.argv.index("--content") + 1]
     if "--seconds" in sys.argv:

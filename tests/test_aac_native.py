@@ -145,3 +145,19 @@ def test_open_rejects_bad_config():
     lib = _native()
     assert not lib.iamf_aac_open(13, 1)
     assert not lib.iamf_aac_open(3, 3)
+
+
+def test_44100_sampling_rate():
+    """sr_index 4 exercises the 44.1 kHz scalefactor-band tables."""
+    from iamf_tpu.codecs.aac.fdk import FdkEncoder
+
+    lib = _native()
+    n = 1024 * 10
+    t = np.arange(n) / 44100.0
+    x = (0.3 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)[:, None]
+    enc = FdkEncoder(1, 44100, 64000)
+    aus = enc.encode(x)
+    ours = _decode_native(lib, aus, 1, sr_index=4)
+    ref = _decode_fdk(enc.asc, aus, 1)
+    snr = _snr_after_shift(ours, ref)
+    assert snr > 70.0, f"SNR {snr:.1f} dB"
