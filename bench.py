@@ -134,8 +134,12 @@ def main() -> None:
                                  batch_frames=128)
             for _ in range(n_streams)
         ]
+        import concurrent.futures as cf
+
         t0 = time.perf_counter()
-        outs = [dd.decode_all(fetch=False) for dd in decs]
+        with cf.ThreadPoolExecutor(n_streams) as ex:
+            outs = list(ex.map(
+                lambda dd: dd.decode_all(fetch=False), decs))
         for o in outs:
             o[-1].block_until_ready()
         agg_elapsed = time.perf_counter() - t0
