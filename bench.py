@@ -59,7 +59,10 @@ def main() -> None:
 
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
     content = os.environ.get("BENCH_CONTENT", "pcm")
-    n_streams = int(os.environ.get("BENCH_STREAMS", "4"))
+    # aggregate mode is opt-in: on this tunneled single-chip host the
+    # python-side packet routing serializes streams (GIL), so N-stream
+    # aggregate adds no information over device_only_realtime_x
+    n_streams = int(os.environ.get("BENCH_STREAMS", "0"))
     if "--content" in sys.argv:
         content = sys.argv[sys.argv.index("--content") + 1]
     if "--seconds" in sys.argv:
