@@ -141,6 +141,29 @@ class IAMFDecoder:
     def get_last_metadata(self) -> ExtraData:
         return self.metadata
 
+    @staticmethod
+    def layout_sound_system_channels_count(ss: int) -> int:
+        """IAMF_layout_sound_system_channels_count (IAMF_decoder.c:3998)."""
+        from .constants import SOUND_SYSTEM_CHANNEL_COUNT, SoundSystem
+
+        try:
+            return SOUND_SYSTEM_CHANNEL_COUNT[SoundSystem(ss)]
+        except (ValueError, KeyError):
+            return -1
+
+    @staticmethod
+    def layout_binaural_channels_count() -> int:
+        return 2
+
+    @staticmethod
+    def get_codec_capability() -> str:
+        """Supported-codec capability list, one `iamf.<primary>.<additional>
+        .<4cc>` entry per codec (IAMF_decoder_get_codec_capability,
+        IAMF_decoder.c:4038-4086; profiles from CMakeLists.txt:11-12)."""
+        return ";".join(
+            f"iamf.001.001.{c}" for c in ("Opus", "mp4a.40.2", "ipcm",
+                                          "fLaC"))
+
     def write_stream_logs(self, out_dir: str) -> list:
         """Write SR-style per-stage wav taps (requires stream_log=True)."""
         return _write_stream_logs(self, out_dir)

@@ -339,6 +339,16 @@ class BatchedStreamDecoder:
         out_gain_bt = (ones_bt if self.out_gain == 1.0
                        else jnp.full((B, T), self.out_gain, jnp.float32))
 
+        # Fetch whole batch arrays concurrently while later batches are
+        # still being enqueued/computed: the axon-tunneled d2h path is
+        # chunk-size sensitive (sliced/lazy arrays and very large single
+        # transfers are an order of magnitude slower than ~4 MB
+        # whole-buffer fetches), and overlapping fetch with compute hides
+        # most of the transfer time.
+        import concurrent.futures as _cf
+
+        fetch_pool = _cf.ThreadPoolExecutor(4) if fetch else None
+        fetch_futs = []
         device_outs = []
         counts = []
         xs_shapes = None
@@ -378,19 +388,15 @@ class BatchedStreamDecoder:
             carry, pcm = decode_frames(self.cfg, carry, batch)
             device_outs.append(pcm)
             counts.append(count)
+            if fetch_pool is not None:
+                fetch_futs.append(fetch_pool.submit(np.asarray, pcm))
 
         if not fetch:
             if device_outs:
                 device_outs[-1].block_until_ready()
             return device_outs
-        # Fetch whole batch arrays concurrently and slice host-side: the
-        # axon-tunneled d2h path is chunk-size sensitive (sliced/lazy
-        # arrays and very large single transfers are an order of magnitude
-        # slower than ~4 MB whole-buffer fetches in parallel).
-        import concurrent.futures as _cf
-
-        with _cf.ThreadPoolExecutor(4) as ex:
-            fetched = list(ex.map(np.asarray, device_outs))
+        fetched = [f.result() for f in fetch_futs]
+        fetch_pool.shutdown()
         outs = [
             f[:c].reshape(c * T, -1) for f, c in zip(fetched, counts)
         ]
