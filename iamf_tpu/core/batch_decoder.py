@@ -77,6 +77,13 @@ class BatchedStreamDecoder:
                 self.db.add_element(parser.parse_audio_element(obu))
             elif obu.type == 2:
                 self.db.add_mix_presentation(parser.parse_mix_presentation(obu))
+            elif obu.type == 3:
+                # dynamic parameter curves (mix gain / demix / recon-gain
+                # blocks) need the frame-serial decoder's timeline handling
+                raise ValueError(
+                    "stream carries parameter block OBUs; decode it with "
+                    "the frame-serial api.IAMFDecoder (the batched path "
+                    "evaluates parameter defaults only)")
             elif obu.is_audio_frame:
                 f = parser.parse_audio_frame(obu)
                 self.frames_per_substream.setdefault(f.substream_id, []).append(
