@@ -246,3 +246,19 @@ def test_batched_aac_714_downmix():
     n = min(len(serial), len(out))
     diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
     assert diff.max() <= 2, f"max {diff.max()}"
+
+
+def test_batched_aac_transients_device_short_windows():
+    """Transient content forces EIGHT_SHORT window sequences through the
+    device filterbank's short-block IMDCT/OLA path; must still track the
+    host filterbank to the s16 rounding boundary."""
+    from test_e2e_pcm import ours_decode
+
+    stream, _src, _ = vectors.build_aac_layout_stream(
+        ChannelLayout.STEREO, n_frames=10, transients=True)
+    serial = ours_decode(stream, 0)
+    out = BatchedStreamDecoder(stream, sound_system=0,
+                               batch_frames=4).decode_all()
+    n = min(len(serial), len(out))
+    diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
+    assert diff.max() <= 2, f"max {diff.max()}"

@@ -657,10 +657,12 @@ def build_aac_layout_stream(
     amp: float = 0.4,
     bitrate: int = 128000,
     seed: int = 33,
+    transients: bool = False,
 ) -> tuple[bytes, np.ndarray, list]:
     """Channel-based AAC-LC stream; substreams encoded with the reference's
     fdk-aac binary run through the COFF loader. Returns (stream, source,
-    per-substream AU lists)."""
+    per-substream AU lists). transients=True adds clicks so the encoder
+    emits EIGHT_SHORT window sequences."""
     from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
     from iamf_tpu.codecs.aac.fdk import FdkEncoder
 
@@ -668,6 +670,12 @@ def build_aac_layout_stream(
     nsub, ncoupled = _layer_substreams(layout)
     total = n_frames * frame_size
     src = sine_pcm(total, nch, rate, amp=amp, bits=16, seed=seed)
+    if transients:
+        src = src.astype(np.int64)
+        for k in range(3000, total - 200, 9000):
+            src[k:k + 150] += (14000 * np.hanning(150))[:, None].astype(
+                np.int64)
+        src = np.clip(src, -32768, 32767).astype(np.int16)
 
     all_packets = []
     asc = None
