@@ -349,12 +349,15 @@ class BatchedStreamDecoder:
         # Fetch whole batch arrays concurrently while later batches are
         # still being enqueued/computed: the axon-tunneled d2h path is
         # chunk-size sensitive (sliced/lazy arrays and very large single
-        # transfers are an order of magnitude slower than ~4 MB
+        # transfers are an order of magnitude slower than ~3 MB
         # whole-buffer fetches), and overlapping fetch with compute hides
-        # most of the transfer time.
+        # most of the transfer time. Measured on the tunnel: a
+        # copy_to_host_async() enqueued at dispatch time plus >=8 reader
+        # threads doubles effective d2h throughput (~18 -> ~40 MB/s) over
+        # threaded np.asarray alone.
         import concurrent.futures as _cf
 
-        fetch_pool = _cf.ThreadPoolExecutor(4) if fetch else None
+        fetch_pool = _cf.ThreadPoolExecutor(8) if fetch else None
         fetch_futs = []
         device_outs = []
         counts = []
@@ -396,6 +399,10 @@ class BatchedStreamDecoder:
             device_outs.append(pcm)
             counts.append(count)
             if fetch_pool is not None:
+                try:
+                    pcm.copy_to_host_async()
+                except AttributeError:  # non-jax array (tests)
+                    pass
                 fetch_futs.append(fetch_pool.submit(np.asarray, pcm))
 
         if not fetch:
