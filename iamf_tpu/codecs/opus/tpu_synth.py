@@ -89,7 +89,17 @@ def init_carry(lanes: int) -> SynthCarry:
 
 
 def _imdct_overlap(freq, transient, tail0):
-    """All-frames IMDCT + TDAC overlap. Returns (y [B,L,960], tail [L,60])."""
+    """All-frames IMDCT + TDAC overlap. Returns (y [B,L,960], tail [L,60]).
+
+    On TPU this routes to the fused Pallas kernel (pallas_imdct.py): the
+    filterbank folds to two MXU matmuls per frame with the inter-frame
+    tail carried in VMEM scratch. The jnp path below is the portable
+    fallback and the equivalence oracle (tests/test_opus_pallas.py).
+    """
+    from . import pallas_imdct
+
+    if pallas_imdct.enabled():
+        return pallas_imdct.fused_imdct_overlap(freq, transient, tail0)
     B, L, _ = freq.shape
     w = jnp.asarray(_tables()[0])
     b960 = jnp.asarray(_basis(960))
