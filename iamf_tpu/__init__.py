@@ -5,12 +5,11 @@ Precision policy: this is a *decoder* with bit-exactness guarantees
 lossy paths carry SNR bars). On TPU, XLA's DEFAULT matmul precision
 evaluates float32 contractions through bfloat16 MXU passes (8 mantissa
 bits -> a 2^-8 quantization grid on [0.5, 1) signals), which silently
-breaks those guarantees on hardware while CPU tests still pass. Force
-full-f32 contractions globally; every matmul in the decode graph is tiny
-(render matrices <= 28x16, IMDCT bases <= 2048^2) and HBM-bound, so the
-extra MXU passes are not measurable end-to-end.
+breaks those guarantees on hardware while CPU tests still pass. Every
+contraction in the decode graph therefore passes
+``precision=jax.lax.Precision.HIGHEST`` explicitly at its call site
+(render einsums, IMDCT/filterbank matmuls, HRTF frequency-domain mixes)
+rather than flipping the process-global ``jax_default_matmul_precision``
+flag, which would silently change the numerics and performance of other
+JAX code sharing the process.
 """
-
-import jax as _jax
-
-_jax.config.update("jax_default_matmul_precision", "highest")

@@ -98,14 +98,16 @@ def _windowed_frames(p: SynthParams) -> jax.Array:
     B, L, _ = p.spec.shape
 
     # long path
-    tl = (p.spec.reshape(B * L, 1024) @ t["b_long"]).reshape(B, L, 2048)
+    tl = jnp.matmul(p.spec.reshape(B * L, 1024), t["b_long"],
+                    precision=jax.lax.Precision.HIGHEST).reshape(B, L, 2048)
     wl = jnp.asarray(t["wl"])[p.win_seq, p.prev_shape]  # [B, L, 1024]
     wr = jnp.asarray(t["wr"])[p.win_seq, p.shape]
     frame_long = jnp.concatenate(
         [tl[..., :1024] * wl, tl[..., 1024:] * wr], axis=-1)
 
     # short path: 8 x 128-line IMDCTs, intra-frame OLA at offsets 448+128j
-    ts = (p.spec.reshape(B * L * 8, 128) @ t["b_short"]).reshape(
+    ts = jnp.matmul(p.spec.reshape(B * L * 8, 128), t["b_short"],
+                    precision=jax.lax.Precision.HIGHEST).reshape(
         B, L, 8, 256)
     sh = jnp.asarray(t["short_half"])
     sh_l = sh[p.shape]                         # [B, L, 128]

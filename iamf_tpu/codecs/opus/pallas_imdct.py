@@ -25,8 +25,11 @@ window branches in HBM; the fused kernel writes only the final PCM.
 Numerics: A/C/D are formed in float64 and rounded once to float32, so the
 window*basis products differ from the jnp path (window applied after the
 matmul) by <= 1 ulp; on 32768-scale CELT spectra the observed output delta
-is < 2e-2, far inside the CELT path's <=1-LSB s16 budget
-(tests/test_opus_pallas.py asserts it).
+is < 2e-2 (tests/test_opus_pallas.py asserts < 0.25). That delta stacks
+with the jnp path's own <=1-LSB deviation from the host decoder, so the
+fused path's parity bar vs the host decoder is <=2 LSB at s16 worst case.
+First use on a real TPU cross-checks fused-vs-jnp numerics on device and
+falls back to the jnp path on any failure (see enabled()).
 """
 
 from __future__ import annotations
@@ -169,12 +172,61 @@ def fused_imdct_overlap(freq, transient, tail0, *, interpret=False):
     return y, tail
 
 
-@functools.lru_cache(maxsize=1)
-def enabled() -> bool:
-    """Use the fused kernel on real TPU backends (opt-out via env)."""
-    if os.environ.get("IAMF_PALLAS_IMDCT", "1") == "0":
-        return False
+# VMEM ceiling: the six constant matrices are ~9.4 MB after tile padding,
+# plus double-buffered [1, L, 960] freq/output blocks (2 * 2 * L * 3.75 KB).
+# Past this lane count the pallas_call would exceed VMEM at compile time;
+# the caller falls back to the jnp path instead.
+LANE_LIMIT = 256
+
+_runtime = {"checked": False, "ok": False}
+
+
+def _runtime_check() -> bool:
+    """One-time Mosaic-compile + numerics cross-check on the live backend.
+
+    The unit tests exercise the kernel through the Pallas interpreter on
+    CPU only, so a real-TPU compile failure or numeric divergence (the
+    960/60 dims are not tile-aligned) would otherwise ship silently on the
+    main decode path. First use runs a tiny fused-vs-jnp comparison on
+    device; any exception or mismatch disables the kernel for the process
+    (the jnp path is the equivalence oracle, tests/test_opus_pallas.py).
+    """
+    from . import tpu_synth
+
     try:
-        return jax.default_backend() == "tpu"
+        rng = np.random.RandomState(0)
+        freq = jnp.asarray(rng.randn(3, 2, FRAME).astype(np.float32) * 4096)
+        trans = jnp.asarray(
+            np.array([[0, 1], [1, 0], [0, 0]], np.bool_))
+        tail0 = jnp.asarray(rng.randn(2, OVER).astype(np.float32) * 64)
+        y_f, t_f = fused_imdct_overlap(freq, trans, tail0)
+        y_j, t_j = tpu_synth._imdct_overlap_jnp(freq, trans, tail0)
+        scale = float(jnp.max(jnp.abs(y_j)))
+        tol = 1e-5 * max(scale, 1.0) + 1e-3
+        ok = (float(jnp.max(jnp.abs(y_f - y_j))) <= tol
+              and float(jnp.max(jnp.abs(t_f - t_j))) <= tol)
+        return ok
     except Exception:
         return False
+
+
+def enabled(lanes: int | None = None) -> bool:
+    """Use the fused kernel on real TPU backends (opt-out via env).
+
+    The env var is re-read on every call (it is cheap) so setting
+    IAMF_PALLAS_IMDCT=0 mid-process reliably disables the kernel; the
+    first enabled use cross-checks fused-vs-jnp numerics on device.
+    """
+    if os.environ.get("IAMF_PALLAS_IMDCT", "1") == "0":
+        return False
+    if lanes is not None and lanes > LANE_LIMIT:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    if not _runtime["checked"]:
+        _runtime["checked"] = True  # set first: the check calls back in
+        _runtime["ok"] = _runtime_check()
+    return _runtime["ok"]

@@ -93,24 +93,31 @@ def _imdct_overlap(freq, transient, tail0):
 
     On TPU this routes to the fused Pallas kernel (pallas_imdct.py): the
     filterbank folds to two MXU matmuls per frame with the inter-frame
-    tail carried in VMEM scratch. The jnp path below is the portable
-    fallback and the equivalence oracle (tests/test_opus_pallas.py).
+    tail carried in VMEM scratch. `_imdct_overlap_jnp` is the portable
+    fallback and the equivalence oracle (tests/test_opus_pallas.py);
+    first TPU use cross-checks the fused kernel against it on device.
     """
     from . import pallas_imdct
 
-    if pallas_imdct.enabled():
+    if pallas_imdct.enabled(lanes=freq.shape[1]):
         return pallas_imdct.fused_imdct_overlap(freq, transient, tail0)
+    return _imdct_overlap_jnp(freq, transient, tail0)
+
+
+def _imdct_overlap_jnp(freq, transient, tail0):
     B, L, _ = freq.shape
     w = jnp.asarray(_tables()[0])
     b960 = jnp.asarray(_basis(960))
     b120 = jnp.asarray(_basis(120))
 
     t_long = jnp.einsum("blk,mk->blm", freq, b960,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     # short blocks are interleaved with stride 8: block j holds freq[j+8k]
     fs = freq.reshape(B, L, 120, 8).transpose(0, 1, 3, 2)
     t_short = jnp.einsum("bljk,mk->bljm", fs, b120,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
 
     tails_out = jnp.where(transient[..., None], t_short[:, :, 7, 60:],
                           t_long[..., 900:])

@@ -140,10 +140,12 @@ def _frame_compute(cfg: PipelineConfig, inputs: dict):
         m_prev = inputs["render_prev"][i]
         m_cur = inputs["render_cur"][i]
         y_prev = jnp.einsum(
-            "om,mt->ot", m_prev, y, preferred_element_type=jnp.float32
+            "om,mt->ot", m_prev, y, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         y_cur = jnp.einsum(
-            "om,mt->ot", m_cur, y, preferred_element_type=jnp.float32
+            "om,mt->ot", m_cur, y, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         mask = inputs["offset_mask"][i][None, :]
         r = y_prev * mask + y_cur * (1.0 - mask)

@@ -156,7 +156,8 @@ def _fft_conv_block(x, H, overlap, taps: int):
     C, T = x.shape
     n = T + taps - 1
     X = jnp.fft.rfft(x, n=n, axis=1)  # [C, F]
-    Y = jnp.einsum("ecf,cf->ef", H, X)  # [2, F] on MXU via complex matmul
+    Y = jnp.einsum("ecf,cf->ef", H, X,
+                   precision=jax.lax.Precision.HIGHEST)  # [2, F] on MXU
     y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
     out = y[:, :T].at[:, : taps - 1].add(overlap)
     new_overlap = y[:, T:]

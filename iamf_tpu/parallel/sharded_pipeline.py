@@ -63,7 +63,8 @@ def sharded_decode_step(mesh: Mesh, cfg: PipelineConfig):
                 else:
                     y = xf
                 r = jnp.einsum(
-                    "om,mt->ot", me, y, preferred_element_type=jnp.float32
+                    "om,mt->ot", me, y, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 return r * gf[None, :]
 
@@ -129,7 +130,8 @@ def substream_parallel_render(mesh: Mesh, render_mat: np.ndarray):
         # x_local: [C/n, T] -> gather all substream channels (ICI)
         x_full = jax.lax.all_gather(
             x_local, "substreams", axis=0, tiled=True)  # [C, T]
-        return mat_local @ x_full  # [out/n, T]
+        return jnp.matmul(mat_local, x_full,
+                          precision=jax.lax.Precision.HIGHEST)  # [out/n, T]
 
     return jax.jit(
         jax.shard_map(
@@ -200,7 +202,8 @@ def two_stage_pipeline(mesh: Mesh, render_mat: np.ndarray, bits: int = 16):
             [x_local, jnp.zeros((1, C, T), x_local.dtype)])  # drain bubble
 
         def step(prev_act, xm):
-            rendered = mat @ xm  # stage-0 work
+            rendered = jnp.matmul(
+                mat, xm, precision=jax.lax.Precision.HIGHEST)  # stage-0 work
             act = jax.lax.ppermute(rendered, "stage", [(0, 1)])
             y = quantize_interleave(prev_act, bits)  # stage-1 work
             return act, y

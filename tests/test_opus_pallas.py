@@ -37,9 +37,11 @@ def _run_both(B, L, seed, trans_pattern):
 ])
 def test_fused_matches_jnp(pattern, name):
     y_ref, tail_ref, y_pl, tail_pl = _run_both(6, 3, 7, pattern)
-    # constant-matrix fold rounds window*basis once in f64->f32; on
-    # 32768-scale spectra the delta stays far below the CELT path's
-    # 1-LSB s16 budget (1 LSB = 2.0 at this scale)
+    # constant-matrix fold rounds window*basis once in f64->f32; the
+    # synthesis rounds to s16 at 32768 full scale (1 LSB = 1.0), so this
+    # 0.25 fused-vs-jnp bound can stack with the jnp path's own <=1-LSB
+    # deviation from the host decoder: the fused path's documented parity
+    # bar vs the host decoder is <=2 LSB worst case.
     assert np.abs(y_pl - y_ref).max() < 0.25, name
     assert np.abs(tail_pl - tail_ref).max() < 0.25, name
 
@@ -53,7 +55,9 @@ def test_tail_chains_across_frames():
 
 
 def test_enabled_gate(monkeypatch):
-    pallas_imdct.enabled.cache_clear()
+    # env var is re-read on every call: mid-process opt-out must stick
     monkeypatch.setenv("IAMF_PALLAS_IMDCT", "0")
     assert pallas_imdct.enabled() is False
-    pallas_imdct.enabled.cache_clear()
+    monkeypatch.delenv("IAMF_PALLAS_IMDCT")
+    # lane-count VMEM ceiling gates the kernel off regardless of backend
+    assert pallas_imdct.enabled(lanes=pallas_imdct.LANE_LIMIT + 1) is False
