@@ -1,15 +1,18 @@
 """Batched stream decoder: host parse/unpack feeding the fused TPU pipeline.
 
-The throughput path: parses all OBUs up front (host, <1% of time), unpacks
-codec payloads into [B, C, T] frame batches, and drives
+The throughput path: parses all OBUs up front (host, <1% of time), replays
+the parameter timeline (core/timeline.py: mix-gain curves, demix mode /
+w-index walk, recon-gain EMA — the reference's per-frame scalar state
+machines, IAMF_decoder.c:639-982 / demixer.c:592-619), unpacks codec
+payloads into [B, C, T] frame batches, and drives
 core.pipeline.decode_frames in large batches — all elements of the selected
-mix presentation decode/render in one jitted program and are psum-mixed on
+mix presentation decode/render in one jitted program and are mixed on
 device. Channel-based elements demix/downmix as in the per-frame path;
 scene-based (ambisonics) elements fold the mono-remap / projection
 conversion into the H2M render matrix (one [out, lanes] matmul). Opus
 elements run the host-entropy + device-synthesis split
 (codecs/opus/tpu_synth.py). The per-frame api.IAMFDecoder remains the fully
-general path (parameter curves, reconfigure, seek).
+general path (reconfigure, resampling, binaural, seek).
 """
 
 from __future__ import annotations
@@ -27,9 +30,10 @@ from ..codecs.base import open_decoder
 from ..dsp.demix import DemixSpec
 from ..dsp.limiter import LimiterConfig
 from ..dsp import render as rdr
-from ..dsp.downmix import can_downmix, downmix_matrix
+from ..dsp.downmix import DownmixerState, can_downmix, downmix_matrix
 from ..obu import parser
-from .database import Database
+from . import timeline
+from .database import Database, codec_config_sampling_rate
 from .pipeline import ElementSpec, PipelineConfig, decode_frames, init_carry
 from .stream import SS_TO_LAYOUT, Stream, OutputLayout
 
@@ -41,6 +45,7 @@ class _ElemCtx:
     substream_ids: list
     demix_spec: object  # DemixSpec | None
     render_mat: np.ndarray  # [out_channels, n_rendered]
+    downmix: object  # DownmixerState | None (mode/w walk for the renderer)
     n_in: int
     input_scale: float
     raw_input: bool
@@ -69,7 +74,7 @@ class BatchedStreamDecoder:
             raise ValueError("no sequence header")
         self.frames_per_substream: dict[int, list[bytes]] = {}
         self.trims: list[tuple[int, int]] = []  # (start, end) per temporal unit
-        first_sid = None
+        raw_events: list = []  # ("param", obu) | ("frame", sid, strim, etrim)
         for obu in parser.iter_obus(memoryview(data)[off:]):
             if obu.type == 0:
                 self.db.add_codec_config(parser.parse_codec_config(obu))
@@ -78,21 +83,14 @@ class BatchedStreamDecoder:
             elif obu.type == 2:
                 self.db.add_mix_presentation(parser.parse_mix_presentation(obu))
             elif obu.type == 3:
-                # dynamic parameter curves (mix gain / demix / recon-gain
-                # blocks) need the frame-serial decoder's timeline handling
-                raise ValueError(
-                    "stream carries parameter block OBUs; decode it with "
-                    "the frame-serial api.IAMFDecoder (the batched path "
-                    "evaluates parameter defaults only)")
+                raw_events.append(("param", obu))
             elif obu.is_audio_frame:
                 f = parser.parse_audio_frame(obu)
                 self.frames_per_substream.setdefault(f.substream_id, []).append(
                     bytes(f.data)
                 )
-                if first_sid is None:
-                    first_sid = f.substream_id
-                if f.substream_id == first_sid:
-                    self.trims.append((f.trim_start, f.trim_end))
+                raw_events.append(
+                    ("frame", f.substream_id, f.trim_start, f.trim_end))
 
         mp = self.db.mix_presentations[0]
         sub = mp.sub_mixes[0]
@@ -105,8 +103,9 @@ class BatchedStreamDecoder:
             item = self.db.elements[econf.element_id]
             ctx = self._open_element(item, econf, sound_system, out_ch)
             self.elems.append(ctx)
-        self.out_gain = db_to_linear(
+        out_gain_default = db_to_linear(
             q78_to_db(sub.output_mix_gain.default_mix_gain_q78))
+        norm_gain = 1.0
         if normalization_db is not None:
             # loudness normalization: db2lin(norm - selected loudness)
             # applied to the mix (IAMF_decoder.c:3480-3484; selection
@@ -117,7 +116,39 @@ class BatchedStreamDecoder:
                         and l.sound_system == sound_system):
                     loud = q78_to_db(sub.loudness[i].integrated_loudness)
                     break
-            self.out_gain *= db_to_linear(normalization_db - loud)
+            norm_gain = db_to_linear(normalization_db - loud)
+
+        # temporal-unit events: a unit closes when every selected substream
+        # has delivered one more packet (iamf_decoder_internal_parse_OBUs
+        # runs the decode once all decoders report packet_ready, :2871-2932)
+        required = [sid for e in self.elems for sid in e.substream_ids]
+        first_sid = self.elems[0].substream_ids[0]
+        counts = {sid: 0 for sid in required}
+        units = 0
+        trims_cur = (0, 0)
+        self.events: list = []
+        for ev in raw_events:
+            if ev[0] == "param":
+                self.events.append(ev)
+                continue
+            _, sid, strim, etrim = ev
+            if sid in counts:
+                counts[sid] += 1
+                if sid == first_sid:
+                    trims_cur = (strim, etrim)
+            if all(c > units for c in counts.values()):
+                units += 1
+                self.trims.append(trims_cur)
+                self.events.append(("unit", trims_cur[0], trims_cur[1]))
+
+        # replay the parameter timeline (host scalar state machines)
+        rate = codec_config_sampling_rate(
+            self.db.elements[sub.elements[0].element_id].codec_config)
+        self.params = timeline.replay(
+            self.db, self.elems, sub.elements, sub, self.events,
+            self.n_frames, self.frame_size, rate,
+            out_gain_default, norm_gain,
+        )
 
         self.cfg = PipelineConfig(
             frame_size=self.frame_size,
@@ -129,14 +160,22 @@ class BatchedStreamDecoder:
                     n_in=e.n_in,
                     n_rendered=e.render_mat.shape[1],
                     input_scale=e.input_scale,
+                    render_offset=(int(getattr(e.codec, "delay", 0) or 0)
+                                   if e.downmix is not None else 0),
+                    skip=(int(getattr(e.codec, "delay", 0) or 0)
+                          % self.frame_size if e.demix_spec is not None
+                          else 0),
+                    rg_index=ep.rg_index,
+                    per_sample_gain=ep.gain_per_sample,
                 )
-                for e in self.elems
+                for e, ep in zip(self.elems, self.params.elements)
             ),
             limiter=LimiterConfig(
                 channels=out_ch,
                 **({"threshold_db": peak_threshold_db}
                    if peak_threshold_db is not None else {}),
             ) if limiter else None,
+            per_sample_out_gain=self.params.out_gain_per_sample,
         )
 
     def _open_element(self, item, econf, sound_system, out_ch) -> _ElemCtx:
@@ -150,6 +189,7 @@ class BatchedStreamDecoder:
         gain = db_to_linear(
             q78_to_db(econf.element_mix_gain.default_mix_gain_q78))
 
+        downmix = None
         if stream.scheme == ElementType.CHANNEL_BASED:
             s = stream
             codec = open_decoder(
@@ -172,6 +212,8 @@ class BatchedStreamDecoder:
                 mode = max(s.dmx_default_mode, 0)
                 render_mat = downmix_matrix(
                     in_layout, tgt, mode, max(s.dmx_default_w_idx, 0))
+                downmix = DownmixerState(in_layout, tgt)
+                downmix.set_mode_weight(mode, s.dmx_default_w_idx)
             else:
                 render_mat = rdr.m2m_matrix(
                     rdr.LAYER_IDS[in_layout], self.layout.render_id
@@ -225,9 +267,9 @@ class BatchedStreamDecoder:
         return _ElemCtx(
             stream=stream, codec=codec,
             substream_ids=list(el.substream_ids),
-            demix_spec=demix_spec, render_mat=render_mat, n_in=n_in,
-            input_scale=input_scale, raw_input=raw_input, opus=opus,
-            aac=aac, gain=gain,
+            demix_spec=demix_spec, render_mat=render_mat, downmix=downmix,
+            n_in=n_in, input_scale=input_scale, raw_input=raw_input,
+            opus=opus, aac=aac, gain=gain,
         )
 
     def _opus_celt_960(self, el) -> bool:
@@ -286,6 +328,35 @@ class BatchedStreamDecoder:
             prev_shape=jnp.asarray(d["prev_shape"]))
         return self.aac_synth.synthesize(params, syn_carry)
 
+    def _batch_params(self, start: int, count: int, B: int) -> dict:
+        """Slice the replayed timeline tensors for one batch (pad with
+        neutral values: identity factors, inactive recon rows, matrix 0,
+        unit gains)."""
+        p = self.params
+        pad = B - count
+
+        def pad_to(a, fill):
+            if not pad:
+                return a
+            tail = np.full((pad,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, tail])
+
+        out = {"factors": [], "rg": [], "mats": [], "mat_idx": [],
+               "elem_gain": []}
+        for ep in p.elements:
+            out["factors"].append(jnp.asarray(
+                pad_to(ep.factors[start:start + count], 1.0)))
+            out["rg"].append(jnp.asarray(
+                pad_to(ep.rg[start:start + count], 0.0)))
+            out["mats"].append(jnp.asarray(ep.mats))
+            out["mat_idx"].append(jnp.asarray(
+                pad_to(ep.mat_idx[start:start + count], 0)))
+            out["elem_gain"].append(jnp.asarray(
+                pad_to(ep.gain[start:start + count], 1.0)))
+        out["out_gain"] = jnp.asarray(
+            pad_to(p.out_gain[start:start + count], 1.0))
+        return out
+
     def decode_all(self, fetch: bool = True):
         """Decode everything; returns [samples, out_channels] int PCM.
 
@@ -329,23 +400,6 @@ class BatchedStreamDecoder:
                      for k in range(n)]))
                 elem_syn_carry.append(None)
 
-        ones_bt = jnp.ones((B, T), jnp.float32)
-        zeros_rg = jnp.zeros((B, 0, T), jnp.float32)
-        zeros_bt = jnp.zeros((B, T), jnp.float32)
-        factors = {k: ones_bt for k in ("alpha", "beta", "gamma", "delta",
-                                        "dw")}
-        mats_b = [
-            jnp.broadcast_to(jnp.asarray(e.render_mat),
-                             (B,) + e.render_mat.shape)
-            for e in self.elems
-        ]
-        gains_bt = [
-            ones_bt if e.gain == 1.0 else jnp.full((B, T), e.gain, jnp.float32)
-            for e in self.elems
-        ]
-        out_gain_bt = (ones_bt if self.out_gain == 1.0
-                       else jnp.full((B, T), self.out_gain, jnp.float32))
-
         # Fetch whole batch arrays concurrently while later batches are
         # still being enqueued/computed: the axon-tunneled d2h path is
         # chunk-size sensitive (sliced/lazy arrays and very large single
@@ -383,18 +437,7 @@ class BatchedStreamDecoder:
                     xs = jnp.asarray(xs)
                 xs_list.append(xs)
             xs_shapes = [(x.shape, x.dtype) for x in xs_list]
-            n_e = len(self.elems)
-            batch = {
-                "x": xs_list,
-                "factors": [factors] * n_e,
-                "rg_index": [()] * n_e,
-                "rg_filt": [zeros_rg] * n_e,
-                "render_prev": mats_b,
-                "render_cur": mats_b,
-                "offset_mask": [zeros_bt] * n_e,
-                "elem_gain": gains_bt,
-                "out_gain": out_gain_bt,
-            }
+            batch = dict(self._batch_params(start, count, B), x=xs_list)
             carry, pcm = decode_frames(self.cfg, carry, batch)
             device_outs.append(pcm)
             counts.append(count)
@@ -429,17 +472,10 @@ class BatchedStreamDecoder:
                 c = counts[-1]
                 drain = fetched[-1][c:c + need].reshape(need * T, -1)
             else:
-                zero_batch = {
-                    "x": [jnp.zeros(s, dt) for s, dt in xs_shapes],
-                    "factors": [factors] * len(self.elems),
-                    "rg_index": [()] * len(self.elems),
-                    "rg_filt": [zeros_rg] * len(self.elems),
-                    "render_prev": mats_b,
-                    "render_cur": mats_b,
-                    "offset_mask": [zeros_bt] * len(self.elems),
-                    "elem_gain": gains_bt,
-                    "out_gain": out_gain_bt,
-                }
+                zero_batch = dict(
+                    self._batch_params(n, 0, B),
+                    x=[jnp.zeros(s, dt) for s, dt in xs_shapes],
+                )
                 carry, pcm = decode_frames(self.cfg, carry, zero_batch)
                 drain = np.asarray(pcm[:need]).reshape(need * T, -1)
             out = np.concatenate([out, drain[:d]], axis=0)

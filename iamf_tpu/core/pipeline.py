@@ -7,17 +7,22 @@ static [batch, channels, frame_size] inputs (SURVEY.md §7):
 
     per element:  demix chains (VPU elementwise, vmapped over the batch)
                   -> render matmul (MXU einsum, per-frame matrices)
-                  -> per-sample element mix gain
+                  -> element mix gain
     mix:          sum over elements
-    output gain:  per-sample multiply
+    output gain:  multiply
     limiter:      lax.scan over frames; per-sample gain recurrence inside,
                   with a below-threshold fast path per frame
     quantize:     round-half-even + interleave
 
 Everything sequential-but-tiny (demix mode/w-index walk, recon-gain EMA,
-mix-gain curve evaluation) runs on the host and enters as dense per-frame
-tensors; the only true per-sample recurrence on device is the limiter
-envelope.
+mix-gain curve evaluation) runs on the host (core/timeline.py) and enters
+as *scalar* per-frame tensors — factor pairs [B, 2, 5], recon EMA pairs
+[B, n_rg, 3], render-matrix indices [B, 2] into a tiny constant matrix
+table, gains [B] (or [B, T] only when a curve animates within a frame).
+The per-sample vectors the demixer needs are rebuilt on device from these
+scalars and the static skip/window constants, so the host->device traffic
+per batch is dominated by the audio itself. The only true per-sample
+recurrence on device is the limiter envelope.
 """
 
 from __future__ import annotations
@@ -30,9 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.demix import DemixSpec, demix_frame
+from ..dsp.demix import DemixSpec, demix_frame, make_windows
 from ..dsp.limiter import LimiterConfig, _gain_step, init_state
 from ..dsp.quantize import quantize_interleave
+
+FACTOR_KEYS = ("alpha", "beta", "gamma", "delta", "dw")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +52,11 @@ class ElementSpec:
     render_offset: int = 0  # DMRenderer offset split position (codec delay)
     input_scale: float = 1.0  # applied when x arrives as integers (device-
     #   side int->float conversion halves host->device transfer volume)
+    skip: int = 0  # demix smoothing split (codec delay % frame_size):
+    #   the first `skip` samples use the previous frame's factors
+    #   (demixer_set_frame_offset, demixer.c:537-563)
+    rg_index: tuple[int, ...] = ()  # recon-smoothed output-channel indices
+    per_sample_gain: bool = False  # elem gain arrives [B, T] instead of [B]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,7 +66,7 @@ class PipelineConfig:
     bits: int
     elements: tuple[ElementSpec, ...]
     limiter: Optional[LimiterConfig]
-    n_rg: int = 0  # recon-gain smoothed channel count (max over elements)
+    per_sample_out_gain: bool = False
 
 
 def _limiter_block(cfg: LimiterConfig, state: dict, x):
@@ -112,46 +124,62 @@ def _frame_compute(cfg: PipelineConfig, inputs: dict):
     """Demix + render + gains + mix for ONE frame (no limiter).
 
     inputs (leading element axis handled by caller):
-      x_e:        list of [C_in, T] per element
-      factors_e:  list of dict[str, [T]] per channel-based element
-      rg_filt_e:  list of Optional [n_rg, T]
-      render_prev_e / render_cur_e: [out, n_rendered] matrices per element
-      offset_mask_e: [T] 1.0 where the *previous* matrix applies
-      elem_gain_e: [T] per element
-      out_gain:   [T]
+      x:        list of [C_in, T] per element
+      factors:  list of [2, 5] per element (prev/cur x FACTOR_KEYS)
+      rg:       list of [n_rg, 3] per element (last_sfavg, sfavg, active)
+      m_prev/m_cur: list of [out, n_rendered] matrices per element
+      elem_gain: scalar or [T] per element
+      out_gain: scalar or [T]
     Returns mixed [out_channels, T] float32.
     """
+    T = cfg.frame_size
     mixed = None
     for i, es in enumerate(cfg.elements):
         x = inputs["x"][i]
         if x.dtype != jnp.float32:
             x = x.astype(jnp.float32) * jnp.float32(es.input_scale)
         if es.demix is not None:
-            y = demix_frame(
-                x,
-                es.demix,
-                inputs["factors"][i],
-                inputs["rg_index"][i],
-                inputs["rg_filt"][i],
-            )
+            fac = inputs["factors"][i]  # [2, 5]
+            if es.skip:
+                # first `skip` samples use the previous frame's factors
+                mask = (jnp.arange(T) < es.skip).astype(jnp.float32)
+                factors_t = {
+                    k: fac[0, j] * mask + fac[1, j] * (1.0 - mask)
+                    for j, k in enumerate(FACTOR_KEYS)
+                }
+            else:
+                factors_t = {k: fac[1, j] for j, k in enumerate(FACTOR_KEYS)}
+            if es.rg_index:
+                start_w, stop_w = make_windows(T, es.skip)
+                rg = inputs["rg"][i]  # [n_rg, 3]
+                filt = (rg[:, 0:1] * jnp.asarray(stop_w)[None, :]
+                        + rg[:, 1:2] * jnp.asarray(start_w)[None, :])
+                # inactive rows (flags changed mid-stream) pass through
+                filt = rg[:, 2:3] * filt + (1.0 - rg[:, 2:3])
+            else:
+                filt = None
+            y = demix_frame(x, es.demix, factors_t, es.rg_index, filt)
         else:
             y = x
         # render: blend previous/current matrices across the offset split
-        m_prev = inputs["render_prev"][i]
-        m_cur = inputs["render_cur"][i]
-        y_prev = jnp.einsum(
-            "om,mt->ot", m_prev, y, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        y_cur = jnp.einsum(
+        m_cur = inputs["m_cur"][i]
+        r = jnp.einsum(
             "om,mt->ot", m_cur, y, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        mask = inputs["offset_mask"][i][None, :]
-        r = y_prev * mask + y_cur * (1.0 - mask)
-        r = r * inputs["elem_gain"][i][None, :]
+        if es.render_offset:
+            m_prev = inputs["m_prev"][i]
+            r_prev = jnp.einsum(
+                "om,mt->ot", m_prev, y, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mask = (jnp.arange(T) < es.render_offset).astype(jnp.float32)
+            r = r_prev * mask[None, :] + r * (1.0 - mask[None, :])
+        g = inputs["elem_gain"][i]
+        r = r * g[None, :] if es.per_sample_gain else r * g
         mixed = r if mixed is None else mixed + r
-    mixed = mixed * inputs["out_gain"][None, :]
+    og = inputs["out_gain"]
+    mixed = mixed * og[None, :] if cfg.per_sample_out_gain else mixed * og
     return mixed
 
 
@@ -160,41 +188,38 @@ def decode_frames(cfg: PipelineConfig, carry: dict, batch: dict):
     """Decode a batch of frames.
 
     batch (B = batch axis first):
-      x:           list per element of [B, C_in, T]
-      factors:     list per element of dict[str, [B, T]]
-      rg_filt:     list per element of [B, n_rg, T] (zeros-size ok)
-      render_prev/render_cur: list per element of [B, out, n_rendered]
-      offset_mask: list per element of [B, T]
-      elem_gain:   list per element of [B, T]
-      out_gain:    [B, T]
+      x:        list per element of [B, C_in, T] (int dtype allowed; scaled
+                on device by ElementSpec.input_scale)
+      factors:  list per element of [B, 2, 5] float32 (ignored when the
+                element has no demixer)
+      rg:       list per element of [B, n_rg, 3] float32
+                (last_sfavg, sfavg, active mask; n_rg == len(es.rg_index))
+      mats:     list per element of [M, out, n_rendered] float32 — the
+                distinct render matrices this stream uses (downmix mode/w
+                states; M == 1 for static M2M/H2M renders)
+      mat_idx:  list per element of [B, 2] int32 (prev, cur) into mats
+      elem_gain: list per element of [B] (or [B, T] if per_sample_gain)
+      out_gain: [B] (or [B, T] if per_sample_out_gain)
     carry: {'limiter': limiter state} (absent limiter -> {})
     Returns (carry, pcm int [B, T, out_channels]).
     """
     n_e = len(cfg.elements)
 
-    def one_frame(inputs):
-        return _frame_compute(cfg, inputs)
+    # per-frame render matrices: tiny gather outside the vmap
+    m_prev = [batch["mats"][i][batch["mat_idx"][i][:, 0]] for i in range(n_e)]
+    m_cur = [batch["mats"][i][batch["mat_idx"][i][:, 1]] for i in range(n_e)]
 
-    # vmap the stateless part over the batch
     per_frame_inputs = {
-        "x": [batch["x"][i] for i in range(n_e)],
-        "factors": [batch["factors"][i] for i in range(n_e)],
-        "rg_index": [batch["rg_index"][i] for i in range(n_e)],
-        "rg_filt": [batch["rg_filt"][i] for i in range(n_e)],
-        "render_prev": [batch["render_prev"][i] for i in range(n_e)],
-        "render_cur": [batch["render_cur"][i] for i in range(n_e)],
-        "offset_mask": [batch["offset_mask"][i] for i in range(n_e)],
-        "elem_gain": [batch["elem_gain"][i] for i in range(n_e)],
+        "x": list(batch["x"]),
+        "factors": list(batch["factors"]),
+        "rg": list(batch["rg"]),
+        "m_prev": m_prev,
+        "m_cur": m_cur,
+        "elem_gain": list(batch["elem_gain"]),
         "out_gain": batch["out_gain"],
     }
-    # rg_index is static per element; exclude from vmap
-    static_rg = per_frame_inputs.pop("rg_index")
 
-    def wrapped(inp):
-        inp = dict(inp, rg_index=static_rg)
-        return one_frame(inp)
-
-    mixed = jax.vmap(wrapped)(per_frame_inputs)  # [B, out_ch, T]
+    mixed = jax.vmap(lambda inp: _frame_compute(cfg, inp))(per_frame_inputs)
 
     if cfg.limiter is not None:
         lim = cfg.limiter
@@ -231,6 +256,26 @@ def decode_frames(cfg: PipelineConfig, carry: dict, batch: dict):
 
     pcm = jax.vmap(lambda m: quantize_interleave(m, cfg.bits))(mixed)
     return carry, pcm
+
+
+def default_batch_params(cfg: PipelineConfig, B: int, mats: list[np.ndarray],
+                         elem_gains: list[float], out_gain: float) -> dict:
+    """Constant-parameter batch inputs (no parameter blocks): identity
+    factors, inactive recon rows, matrix index 0, scalar gains."""
+    out = {
+        "factors": [], "rg": [], "mats": [], "mat_idx": [], "elem_gain": [],
+    }
+    idx = jnp.zeros((B, 2), jnp.int32)
+    ones5 = jnp.ones((B, 2, 5), jnp.float32)
+    for es, mat, g in zip(cfg.elements, mats, elem_gains):
+        out["factors"].append(ones5)
+        out["rg"].append(jnp.ones((B, len(es.rg_index), 3), jnp.float32))
+        out["mats"].append(jnp.asarray(mat)[None] if mat.ndim == 2
+                           else jnp.asarray(mat))
+        out["mat_idx"].append(idx)
+        out["elem_gain"].append(jnp.full((B,), g, jnp.float32))
+    out["out_gain"] = jnp.full((B,), out_gain, jnp.float32)
+    return out
 
 
 def init_carry(cfg: PipelineConfig) -> dict:

@@ -225,14 +225,47 @@ class DemixerState:
             self.rg_flags = flags
         self.rg_gains = list(gains)
 
-    def frame_params(self):
-        """Per-sample factor vectors + recon filters for the current frame,
-        then advance the EMA state (host-side part of dmx_rms)."""
-        T = self.frame_size
+    def frame_params_scalars(self):
+        """Scalar per-frame parameters, then advance the EMA state.
+
+        Returns (last5, cur5, rg) where last5/cur5 are the
+        (alpha, beta, gamma, delta, delta*w) factor tuples for the skip
+        region / rest of the frame, and rg is a list of
+        (out_channel_index, last_sfavg, sfavg) recon-gain EMA pairs. The
+        batched device pipeline rebuilds the per-sample vectors from these
+        plus the static skip/window constants; `frame_params` below keeps
+        the dense host form for the frame-serial path."""
         cur = DEMIX_FACTORS.get(self.demixing_mode, (0, 0, 1, 1, 0))
         last = DEMIX_FACTORS.get(self.last_dmixtypenum, (0, 0, 1, 1, 0))
         w_cur = get_w(self.weight_state_idx)
         w_last = get_w(self.last_weight_state_idx)
+        last5 = (
+            last[0], last[1], last[2], last[3],
+            float(np.float32(np.float32(last[3]) * np.float32(w_last))),
+        )
+        cur5 = (
+            cur[0], cur[1], cur[2], cur[3],
+            float(np.float32(np.float32(cur[3]) * np.float32(w_cur))),
+        )
+
+        out_index = {c: i for i, c in enumerate(self.spec.channels_out)}
+        rg: list[tuple[int, float, float]] = []
+        for ch_id, sf in zip(self.rg_channels, self.rg_gains):
+            if ch_id not in out_index:
+                continue
+            sfavg = (2.0 / (N_EMA_FRAMES + 1.0)) * sf + (
+                1.0 - 2.0 / (N_EMA_FRAMES + 1.0)
+            ) * self.ch_last_sfavg[ch_id]
+            rg.append((out_index[ch_id], self.ch_last_sfavg[ch_id], sfavg))
+            self.ch_last_sf[ch_id] = sf
+            self.ch_last_sfavg[ch_id] = sfavg
+        return last5, cur5, rg
+
+    def frame_params(self):
+        """Per-sample factor vectors + recon filters for the current frame,
+        then advance the EMA state (host-side part of dmx_rms)."""
+        T = self.frame_size
+        last5, cur5, rg = self.frame_params_scalars()
 
         def blend(last_v: float, cur_v: float) -> np.ndarray:
             v = np.full(T, cur_v, dtype=np.float32)
@@ -241,34 +274,18 @@ class DemixerState:
             return v
 
         factors = {
-            "alpha": blend(last[0], cur[0]),
-            "beta": blend(last[1], cur[1]),
-            "gamma": blend(last[2], cur[2]),
-            "delta": blend(last[3], cur[3]),
-            "dw": blend(
-                np.float32(np.float32(last[3]) * np.float32(w_last)),
-                np.float32(np.float32(cur[3]) * np.float32(w_cur)),
-            ),
+            k: blend(last5[i], cur5[i])
+            for i, k in enumerate(("alpha", "beta", "gamma", "delta", "dw"))
         }
 
-        # recon-gain RMS filters
-        out_index = {c: i for i, c in enumerate(self.spec.channels_out)}
         rg_index: list[int] = []
         rg_filt_rows: list[np.ndarray] = []
-        for ch_id, sf in zip(self.rg_channels, self.rg_gains):
-            if ch_id not in out_index:
-                continue
-            sfavg = (2.0 / (N_EMA_FRAMES + 1.0)) * sf + (
-                1.0 - 2.0 / (N_EMA_FRAMES + 1.0)
-            ) * self.ch_last_sfavg[ch_id]
+        for out_idx, last_sfavg, sfavg in rg:
             filt = (
-                self.ch_last_sfavg[ch_id] * self.stop_window
-                + sfavg * self.start_window
+                last_sfavg * self.stop_window + sfavg * self.start_window
             ).astype(np.float32)
-            rg_index.append(out_index[ch_id])
+            rg_index.append(out_idx)
             rg_filt_rows.append(filt)
-            self.ch_last_sf[ch_id] = sf
-            self.ch_last_sfavg[ch_id] = sfavg
 
         rg_filt = np.stack(rg_filt_rows) if rg_filt_rows else None
         return factors, tuple(rg_index), rg_filt

@@ -98,12 +98,17 @@ def build_pcm_layout_stream(
     demix_mode: int = 0,
     seed: int = 1,
     pcm_override: np.ndarray | None = None,
+    demix_modes=None,  # per-frame demixing_mode values (param blocks)
+    mix_gain_segments=None,  # per-frame element mix-gain segment dicts
+    out_gain_segments=None,  # per-frame output mix-gain segment dicts
 ) -> tuple[bytes, np.ndarray]:
     """Single-layer channel-based ipcm stream for any IA layout.
 
+    Gain segment dicts follow builder.parameter_block_obu's mix-gain form:
+    {"animation": AnimationType, "start": q78, "end": q78, ...}.
     Returns (stream, source PCM [n, nch] in codec channel order).
     """
-    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout
+    from iamf_tpu.constants import LAYOUT_CHANNELS_CODEC, ChannelLayout, ParameterType
 
     nch = len(LAYOUT_CHANNELS_CODEC[ChannelLayout(layout)])
     nsub, ncoupled = _layer_substreams(layout)
@@ -145,6 +150,24 @@ def build_pcm_layout_stream(
                  builder.LayoutSpec(sound_system=1)],
     )
     for f in range(n_frames):
+        if demix_modes is not None and demix is not None:
+            out += builder.parameter_block_obu(
+                998, ParameterType.DEMIXING, duration=frame_size,
+                constant_segment_interval=frame_size, mode=0,
+                segments=[{"mode": demix_modes[f % len(demix_modes)]}],
+            )
+        if mix_gain_segments is not None:
+            out += builder.parameter_block_obu(
+                100, ParameterType.MIX_GAIN, duration=frame_size,
+                constant_segment_interval=frame_size, mode=1,
+                segments=[mix_gain_segments[f % len(mix_gain_segments)]],
+            )
+        if out_gain_segments is not None:
+            out += builder.parameter_block_obu(
+                999, ParameterType.MIX_GAIN, duration=frame_size,
+                constant_segment_interval=frame_size, mode=1,
+                segments=[out_gain_segments[f % len(out_gain_segments)]],
+            )
         frame = pcm[f * frame_size : (f + 1) * frame_size]
         ch = 0
         for s in range(ncoupled):
