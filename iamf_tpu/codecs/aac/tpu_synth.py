@@ -125,6 +125,35 @@ def _windowed_frames(p: SynthParams) -> jax.Array:
     return jnp.where(is_short, frame_short, frame_long)
 
 
+def pack_params(d: dict) -> np.ndarray:
+    """Pack win_seq/shape/prev_shape into ONE [B, L, 3] int32 buffer: the
+    tunneled h2d path charges ~0.5 s per sub-16KB transfer, so the batch
+    loop ships one bulk buffer instead of three tiny ones."""
+    return np.stack(
+        [d["win_seq"], d["shape"], d["prev_shape"]], axis=-1
+    ).astype(np.int32)
+
+
+@jax.jit
+def synthesize_packed(buf, carry: jax.Array):
+    """synthesize() with ONE [B, L, 1027] input buffer: post-TNS spectra
+    concatenated with pack_params' 3 small per-frame ints (exact in f32) —
+    a single bulk h2d transfer per batch."""
+    packed = buf[..., FRAME:].astype(jnp.int32)
+    p = SynthParams(spec=buf[..., :FRAME], win_seq=packed[..., 0],
+                    shape=packed[..., 1], prev_shape=packed[..., 2])
+    return _synthesize(p, carry)
+
+
+def _synthesize(p: SynthParams, carry: jax.Array):
+    frames = _windowed_frames(p)
+    first, second = frames[..., :FRAME], frames[..., FRAME:]
+    prev = jnp.concatenate([carry[None], second[:-1]], axis=0)
+    out = first + prev
+    s16 = jnp.rint(jnp.clip(out, -32768.0, 32767.0))
+    return s16 * (1.0 / 32768.0), second[-1]
+
+
 @jax.jit
 def synthesize(p: SynthParams, carry: jax.Array):
     """[B, L, 1024] PCM (s16-quantized, /32768 float) + next carry.
@@ -132,12 +161,7 @@ def synthesize(p: SynthParams, carry: jax.Array):
     The batch axis is consecutive frames per lane; overlap-add reduces to a
     shift along it (out[b] = first[b] + second[b-1], second[-1] -> carry).
     """
-    frames = _windowed_frames(p)
-    first, second = frames[..., :FRAME], frames[..., FRAME:]
-    prev = jnp.concatenate([carry[None], second[:-1]], axis=0)
-    out = first + prev
-    s16 = jnp.rint(jnp.clip(out, -32768.0, 32767.0))
-    return s16 * (1.0 / 32768.0), second[-1]
+    return _synthesize(p, carry)
 
 
 def reference_filterbank(spec, win_seq, shape, prev_shape, carry):

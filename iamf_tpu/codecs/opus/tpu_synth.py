@@ -220,6 +220,40 @@ def _deemphasis(z, m0):
     return out, m[:, -1]
 
 
+def pack_params(d: dict) -> np.ndarray:
+    """Pack the five small per-frame entropy outputs into ONE [B, L, 9]
+    float32 buffer (transient, t_cur, t_new, g_cur[3], g_new[3]): the
+    tunneled h2d path charges ~0.5 s per sub-16KB transfer, so the batch
+    loop ships one bulk buffer instead of five tiny ones. Periods are
+    <= 1024 and gains are Q15-derived — exact in float32."""
+    B, L = d["transient"].shape
+    out = np.empty((B, L, 9), np.float32)
+    out[..., 0] = d["transient"]
+    out[..., 1] = d["t_cur"]
+    out[..., 2] = d["t_new"]
+    out[..., 3:6] = d["g_cur"]
+    out[..., 6:9] = d["g_new"]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def synthesize_packed(buf, carry: SynthCarry, chunk: int = 104):
+    """synthesize() with ONE [B, L, 969] input buffer: the denormalised
+    spectra concatenated with pack_params' 9 small per-frame values — a
+    single bulk h2d transfer per batch (see pack_params)."""
+    freq = buf[..., :FRAME]
+    packed = buf[..., FRAME:]
+    p = SynthParams(
+        freq=freq,
+        transient=packed[..., 0] != 0,
+        t_cur=packed[..., 1].astype(jnp.int32),
+        t_new=packed[..., 2].astype(jnp.int32),
+        g_cur=packed[..., 3:6],
+        g_new=packed[..., 6:9],
+    )
+    return _synthesize(p, carry, chunk)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
     """Full device synthesis. Returns (pcm [B,L,960] float in [-1,1] at s16
@@ -228,6 +262,10 @@ def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
     The comb always runs — zero coefficients are an exact identity — so the
     only compile variants are (B, L, chunk); axon remote compiles cost
     minutes each, so variants are kept to a minimum."""
+    return _synthesize(p, carry, chunk)
+
+
+def _synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
     B, L, _ = p.freq.shape
     y, tail = _imdct_overlap(p.freq, p.transient, carry.tail)
     sig = y.transpose(1, 0, 2).reshape(L, B * FRAME)

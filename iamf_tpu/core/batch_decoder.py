@@ -34,7 +34,10 @@ from ..dsp.downmix import DownmixerState, can_downmix, downmix_matrix
 from ..obu import parser
 from . import timeline
 from .database import Database, codec_config_sampling_rate
-from .pipeline import ElementSpec, PipelineConfig, decode_frames, init_carry
+from .pipeline import (
+    ElementSpec, PipelineConfig, decode_frames, init_carry, put_padded,
+    put_stream_params,
+)
 from .stream import SS_TO_LAYOUT, Stream, OutputLayout
 
 
@@ -176,6 +179,7 @@ class BatchedStreamDecoder:
                    if peak_threshold_db is not None else {}),
             ) if limiter else None,
             per_sample_out_gain=self.params.out_gain_per_sample,
+            batch_frames=batch_frames,
         )
 
     def _open_element(self, item, econf, sound_system, out_ch) -> _ElemCtx:
@@ -292,7 +296,11 @@ class BatchedStreamDecoder:
             for e in self.elems for sid in e.substream_ids
         )
 
-    def _opus_batch(self, e: _ElemCtx, packets, start, count, B, syn_carry):
+    def _opus_entropy(self, e: _ElemCtx, packets, start, count, B):
+        """Host entropy decode for one opus batch -> ONE packed h2d buffer
+        [B, L, 969] = freq ++ (transient, periods, gains); sub-16KB puts
+        cost ~0.5s on the tunnel, so everything ships in a single bulk
+        transfer."""
         blk = [[p[k] for p in packets] for k in range(start, start + count)]
         d = e.codec.decode_spectrum_batch(blk)
         pad = B - count
@@ -305,15 +313,13 @@ class BatchedStreamDecoder:
             padded["t_cur"] = np.maximum(padded["t_cur"], 15)
             padded["t_new"] = np.maximum(padded["t_new"], 15)
             d.update(padded)
-        params = self.opus_synth.SynthParams(
-            freq=jnp.asarray(d["freq"]), transient=jnp.asarray(d["transient"]),
-            t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
-            g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
-        return self.opus_synth.synthesize(
-            params, syn_carry, chunk=self.opus_synth.pick_chunk(d["min_period"]))
+        packed = self.opus_synth.pack_params(d)
+        buf = np.concatenate([d["freq"], packed], axis=-1)  # [B, L, 969]
+        return buf, self.opus_synth.pick_chunk(d["min_period"])
 
-    def _aac_batch(self, e: _ElemCtx, packets, start, count, B, syn_carry):
-        """Host entropy decode + device filterbank for one AAC batch."""
+    def _aac_entropy(self, e: _ElemCtx, packets, start, count, B):
+        """Host entropy decode for one AAC batch -> ONE packed h2d buffer
+        [B, L, 1027] = spec ++ (win_seq, shape, prev_shape)."""
         blk = [[p[k] for p in packets] for k in range(start, start + count)]
         d = e.codec.decode_spectrum_batch(blk)
         pad = B - count
@@ -321,41 +327,9 @@ class BatchedStreamDecoder:
             d = {k: np.concatenate(
                 [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                 for k, v in d.items()}
-        params = self.aac_synth.SynthParams(
-            spec=jnp.asarray(d["spec"]),
-            win_seq=jnp.asarray(d["win_seq"]),
-            shape=jnp.asarray(d["shape"]),
-            prev_shape=jnp.asarray(d["prev_shape"]))
-        return self.aac_synth.synthesize(params, syn_carry)
-
-    def _batch_params(self, start: int, count: int, B: int) -> dict:
-        """Slice the replayed timeline tensors for one batch (pad with
-        neutral values: identity factors, inactive recon rows, matrix 0,
-        unit gains)."""
-        p = self.params
-        pad = B - count
-
-        def pad_to(a, fill):
-            if not pad:
-                return a
-            tail = np.full((pad,) + a.shape[1:], fill, a.dtype)
-            return np.concatenate([a, tail])
-
-        out = {"factors": [], "rg": [], "mats": [], "mat_idx": [],
-               "elem_gain": []}
-        for ep in p.elements:
-            out["factors"].append(jnp.asarray(
-                pad_to(ep.factors[start:start + count], 1.0)))
-            out["rg"].append(jnp.asarray(
-                pad_to(ep.rg[start:start + count], 0.0)))
-            out["mats"].append(jnp.asarray(ep.mats))
-            out["mat_idx"].append(jnp.asarray(
-                pad_to(ep.mat_idx[start:start + count], 0)))
-            out["elem_gain"].append(jnp.asarray(
-                pad_to(ep.gain[start:start + count], 1.0)))
-        out["out_gain"] = jnp.asarray(
-            pad_to(p.out_gain[start:start + count], 1.0))
-        return out
+        packed = self.aac_synth.pack_params(d).astype(np.float32)
+        return np.concatenate(
+            [d["spec"].astype(np.float32), packed], axis=-1), None
 
     def decode_all(self, fetch: bool = True):
         """Decode everything; returns [samples, out_channels] int PCM.
@@ -363,16 +337,21 @@ class BatchedStreamDecoder:
         Host unpack is a single vectorized pass; device batches are enqueued
         asynchronously (JAX dispatch) and results fetched at the end, so
         host<->device transfers overlap with compute. fetch=False leaves the
-        PCM on device (list of [B, T, ch] batches, synced) — used by the
+        PCM on device (list of [B*T, ch] batches, synced) — used by the
         bench to separate decode throughput from host-transfer bandwidth.
         """
         B = self.batch_frames
         T = self.frame_size
         n = self.n_frames
+        n_batches = -(-n // B)
         carry = init_carry(self.cfg)
+        # whole-stream parameter tensors: ONE bulk h2d put each (+1 batch of
+        # neutral padding so the limiter drain can run past the stream end)
+        stream_params = put_stream_params(
+            self.cfg, self.params, (n_batches + 1) * B)
 
         # per-element: one vectorized unpack for the whole stream (or, for
-        # opus, a per-batch spectrum decode feeding the device synthesis)
+        # opus/aac, per-batch spectrum decode feeding the device synthesis)
         elem_packets = []
         elem_all_x = []
         elem_syn_carry = []
@@ -400,45 +379,76 @@ class BatchedStreamDecoder:
                      for k in range(n)]))
                 elem_syn_carry.append(None)
 
-        # Fetch whole batch arrays concurrently while later batches are
-        # still being enqueued/computed: the axon-tunneled d2h path is
-        # chunk-size sensitive (sliced/lazy arrays and very large single
-        # transfers are an order of magnitude slower than ~3 MB
-        # whole-buffer fetches), and overlapping fetch with compute hides
-        # most of the transfer time. Measured on the tunnel: a
-        # copy_to_host_async() enqueued at dispatch time plus >=8 reader
-        # threads doubles effective d2h throughput (~18 -> ~40 MB/s) over
-        # threaded np.asarray alone.
         import concurrent.futures as _cf
 
+        # host entropy decode (opus/aac) prefetched one batch ahead so it
+        # overlaps the previous batch's device compute and d2h fetches.
+        # ONE worker: the codec's inter-frame state (CELT energy carry, AAC
+        # window history) chains across batches, so they must decode in
+        # submission order, never concurrently
+        entropy_pool = _cf.ThreadPoolExecutor(1) if (
+            self.opus_synth or self.aac_synth) else None
+
+        def host_batch(i, e, start, count):
+            if e.opus:
+                return self._opus_entropy(e, elem_packets[i], start, count, B)
+            if e.aac:
+                return self._aac_entropy(e, elem_packets[i], start, count, B)
+            xs = elem_all_x[i][start:start + count]
+            if count < B:
+                xs = np.concatenate(
+                    [xs, np.zeros((B - count,) + xs.shape[1:], xs.dtype)])
+            return xs, None
+
+        def submit(bi):
+            start = bi * B
+            count = min(B, n - start)
+            futs = []
+            for i, e in enumerate(self.elems):
+                if entropy_pool is not None and (e.opus or e.aac):
+                    futs.append(entropy_pool.submit(
+                        host_batch, i, e, start, count))
+                else:
+                    futs.append((i, e, start, count))
+            return count, futs
+
+        # Fetch whole batch arrays concurrently while later batches are
+        # still being enqueued/computed: the axon-tunneled d2h path is
+        # chunk-size sensitive (sliced/lazy arrays, sub-16KB chunks and 3-D
+        # int16 layouts are 10-1000x slower than flat ~3 MB whole-buffer
+        # fetches), and overlapping fetch with compute hides most of the
+        # transfer time. copy_to_host_async() enqueued at dispatch time
+        # plus >=8 reader threads roughly doubles effective d2h throughput
+        # over threaded np.asarray alone (aggregate ceiling ~50 MB/s).
         fetch_pool = _cf.ThreadPoolExecutor(8) if fetch else None
         fetch_futs = []
         device_outs = []
         counts = []
         xs_shapes = None
-        for start in range(0, n, B):
-            count = min(B, n - start)
+        pending = submit(0) if n_batches else None
+        for bi in range(n_batches):
+            count, futs = pending
+            pending = submit(bi + 1) if bi + 1 < n_batches else None
             xs_list = []
             for i, e in enumerate(self.elems):
-                if e.opus:
-                    xs, elem_syn_carry[i] = self._opus_batch(
-                        e, elem_packets[i], start, count, B,
-                        elem_syn_carry[i])
-                elif e.aac:
-                    xs, elem_syn_carry[i] = self._aac_batch(
-                        e, elem_packets[i], start, count, B,
-                        elem_syn_carry[i])
+                item = futs[i]
+                if isinstance(item, tuple):
+                    xs_np, aux = host_batch(*item)
                 else:
-                    xs = elem_all_x[i][start:start + count]
-                    if count < B:
-                        xs = np.concatenate(
-                            [xs,
-                             np.zeros((B - count,) + xs.shape[1:], xs.dtype)])
-                    xs = jnp.asarray(xs)
+                    xs_np, aux = item.result()
+                buf = jnp.asarray(xs_np)
+                if e.opus:
+                    xs, elem_syn_carry[i] = self.opus_synth.synthesize_packed(
+                        buf, elem_syn_carry[i], chunk=aux)
+                elif e.aac:
+                    xs, elem_syn_carry[i] = self.aac_synth.synthesize_packed(
+                        buf, elem_syn_carry[i])
+                else:
+                    xs = buf
                 xs_list.append(xs)
             xs_shapes = [(x.shape, x.dtype) for x in xs_list]
-            batch = dict(self._batch_params(start, count, B), x=xs_list)
-            carry, pcm = decode_frames(self.cfg, carry, batch)
+            carry, pcm = decode_frames(self.cfg, carry, stream_params,
+                                       xs_list)
             device_outs.append(pcm)
             counts.append(count)
             if fetch_pool is not None:
@@ -448,15 +458,15 @@ class BatchedStreamDecoder:
                     pass
                 fetch_futs.append(fetch_pool.submit(np.asarray, pcm))
 
+        if entropy_pool is not None:
+            entropy_pool.shutdown(wait=False)
         if not fetch:
             if device_outs:
                 device_outs[-1].block_until_ready()
             return device_outs
         fetched = [f.result() for f in fetch_futs]
         fetch_pool.shutdown()
-        outs = [
-            f[:c].reshape(c * T, -1) for f, c in zip(fetched, counts)
-        ]
+        outs = [f[: c * T] for f, c in zip(fetched, counts)]
         out = np.concatenate(outs, axis=0)
         # limiter look-ahead: drop the first delay samples, drain the tail
         # (iamf_delay_buffer_handle IAMF_decoder.c:3250-3301 pushes zeros
@@ -470,14 +480,12 @@ class BatchedStreamDecoder:
                 # padded frames of the last batch already ran zeros through
                 # the pipeline: their output IS the drained tail
                 c = counts[-1]
-                drain = fetched[-1][c:c + need].reshape(need * T, -1)
+                drain = fetched[-1][c * T:(c + need) * T]
             else:
-                zero_batch = dict(
-                    self._batch_params(n, 0, B),
-                    x=[jnp.zeros(s, dt) for s, dt in xs_shapes],
-                )
-                carry, pcm = decode_frames(self.cfg, carry, zero_batch)
-                drain = np.asarray(pcm[:need]).reshape(need * T, -1)
+                carry, pcm = decode_frames(
+                    self.cfg, carry, stream_params,
+                    [jnp.zeros(s, dt) for s, dt in xs_shapes])
+                drain = np.asarray(pcm)[: need * T]
             out = np.concatenate([out, drain[:d]], axis=0)
         # edge trims (codec pre-skip etc.): the IAMF spec restricts trimming
         # to the stream head/tail, so the batched path applies the totals to
