@@ -282,6 +282,62 @@ def _synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
     return pcm, SynthCarry(tail=tail, hist=hist, demem=demem)
 
 
+def unpack_buf(buf) -> SynthParams:
+    """[B, L, 969] packed buffer (see pack_params) -> SynthParams."""
+    freq = buf[..., :FRAME]
+    packed = buf[..., FRAME:]
+    return SynthParams(
+        freq=freq,
+        transient=packed[..., 0] != 0,
+        t_cur=packed[..., 1].astype(jnp.int32),
+        t_new=packed[..., 2].astype(jnp.int32),
+        g_cur=packed[..., 3:6],
+        g_new=packed[..., 6:9],
+    )
+
+
+def shard_stages(buf, preroll: int):
+    """Shard-parallel half of the synthesis (parallel/sharded_decoder.py).
+
+    Runs the IMDCT + TDAC overlap on [preroll + F] frames and drops the
+    preroll rows: the TDAC mirror only mixes a block's first 60 samples
+    with the PREVIOUS block's raw tail, so one preroll frame makes every
+    kept frame's overlap exact with a zero tail carry. Returns the kept
+    frames' flattened signal [L, F*960] plus the comb coefficient tensors
+    for those frames; the comb + de-emphasis IIRs carry state across the
+    whole timeline and run in the sharded decoder's exact ppermute chain
+    (comb_deemph below) — preroll re-decode does NOT converge them in
+    general (the post-filter decay is g^(t/period); measured 462-LSB
+    residual after 6 frames on period-652 content).
+    """
+    p = unpack_buf(buf)
+    L = p.freq.shape[1]
+    y, _ = _imdct_overlap(p.freq, p.transient,
+                          jnp.zeros((L, 60), jnp.float32))
+    y = y[preroll:]
+    own = SynthParams(*(a[preroll:] for a in p))
+    c1, c2, lag1, lag2 = _comb_coeffs(own)
+    B = y.shape[0]
+    sig = y.transpose(1, 0, 2).reshape(L, B * FRAME)
+    flat = lambda a: a.transpose(1, 0, 2, *range(3, a.ndim)).reshape(
+        (L, B * FRAME) + a.shape[3:])
+    return sig, (flat(c1), flat(c2), flat(lag1), flat(lag2))
+
+
+def comb_deemph(sig, coeffs, hist, demem, chunk: int):
+    """Sequential tail of the synthesis for one shard's flattened signal:
+    comb post-filter + de-emphasis, with explicit (hist, demem) carry.
+    Returns (pcm [L, N] float at s16 granularity, hist', demem')."""
+    c1, c2, lag1, lag2 = coeffs
+    z = _comb_filter(sig, hist, c1, c2, lag1, lag2, chunk)
+    N = z.shape[1]
+    hist2 = z[:, -HIST:] if N >= HIST else jnp.concatenate(
+        [hist, z], axis=1)[:, -HIST:]
+    out, demem2 = _deemphasis(z, demem)
+    s16 = jnp.rint(jnp.clip(out, -32768.0, 32767.0))
+    return s16 * (1.0 / 32768.0), hist2, demem2
+
+
 def pick_chunk(min_period: int) -> int:
     """Largest chunk <= min_period-2, capped at 104 so typical content maps
     to a single compile variant (each variant recompiles; see synthesize)."""

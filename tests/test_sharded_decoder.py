@@ -1,0 +1,131 @@
+"""Frame-sharded SPMD decode of REAL streams vs the single-device decoder.
+
+VERDICT r1 #3: shard the actual decoder, not a toy — roll-distance preroll
+re-decode for lossy codecs, exact limiter carry hand-off via the ppermute
+shard chain, real per-frame parameter tensors. The bar: 8-way virtual-mesh
+output <= 1 LSB vs single-device, including a limiter excursion crossing a
+shard boundary (where the fresh-envelope approximation would diverge).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import vectors
+from iamf_tpu.constants import ChannelLayout
+from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+from iamf_tpu.parallel.sharded_decoder import ShardedStreamDecoder
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _loud_pcm(n_frames, frame_size, nch, boundary_frame):
+    """Sine bed with a +4 dB burst spanning the given frame boundary, so a
+    limiter attack/release curve is live exactly when the envelope crosses
+    from one shard to the next."""
+    total = n_frames * frame_size
+    pcm = vectors.sine_pcm(total, nch, 48000, amp=0.4, bits=16, seed=3)
+    lo = (boundary_frame - 2) * frame_size
+    hi = (boundary_frame + 2) * frame_size
+    burst = vectors.sine_pcm(hi - lo, nch, 48000, amp=1.45, bits=16, seed=4)
+    pcm[lo:hi] = np.clip(burst, -32768, 32767)
+    return pcm
+
+
+def test_sharded_pcm_limiter_excursion_crosses_boundary():
+    n_frames, T = 40, 960
+    # 8 shards x 5 frames: shard boundaries at frames 5, 10, 15, 20, ...
+    pcm = _loud_pcm(n_frames, T, 12, boundary_frame=20)
+    stream, _src = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=T,
+        pcm_override=pcm)
+
+    ref = BatchedStreamDecoder(stream, sound_system=9, batch_frames=16)
+    want = ref.decode_all()
+    assert np.abs(np.asarray(want, np.float32)).max() > 0
+
+    dec = ShardedStreamDecoder(stream, n_devices=8, sound_system=9)
+    got = dec.decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    # sanity: the limiter actually engaged (burst is above -1 dBTP)
+    assert np.abs(np.asarray(want, np.int64)).max() >= 28000
+
+
+def test_sharded_pcm_with_dynamic_params():
+    n_frames, T = 24, 960
+    stream, _src = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=T, amp=0.5,
+        demix_modes=[i % 3 for i in range(n_frames)],
+        mix_gain_segments=[
+            {"animation": 1, "start": -256 * (i % 4), "end": -256 * ((i + 1) % 4)}
+            for i in range(n_frames)
+        ],
+    )
+    want = BatchedStreamDecoder(stream, sound_system=9,
+                                batch_frames=8).decode_all()
+    got = ShardedStreamDecoder(stream, n_devices=8, sound_system=9).decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_sharded_uneven_last_shard():
+    # n_frames not divisible by the mesh: last shard is mostly padding
+    n_frames, T = 19, 960
+    stream, _src = vectors.build_pcm_layout_stream(
+        ChannelLayout.L512, n_frames=n_frames, frame_size=T, amp=0.6)
+    want = BatchedStreamDecoder(stream, sound_system=2,
+                                batch_frames=4).decode_all()
+    got = ShardedStreamDecoder(stream, n_devices=8, sound_system=2).decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_sharded_opus_roll_distance_preroll():
+    """Opus content: device CELT synthesis carry (TDAC tail, comb history,
+    de-emphasis memory) restarts at each shard with a roll-distance preroll
+    re-decode; output must match the single-device chained-carry decode."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "iamf_tpu", "data", "sample_opus_714.iamf")
+    data = open(path, "rb").read()
+    want = BatchedStreamDecoder(data, sound_system=9,
+                                batch_frames=8).decode_all()
+    dec = ShardedStreamDecoder(data, n_devices=8, sound_system=9)
+    assert dec.preroll >= 1  # parsed audio_roll_distance, not a default
+    got = dec.decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_sharded_matches_reference_player(ref_player, tmp_path):
+    """End-to-end: the 8-way sharded decode matches the reference player
+    bit-exactly on a PCM stream with a limiter excursion."""
+    import subprocess
+
+    n_frames, T = 16, 960
+    pcm = _loud_pcm(n_frames, T, 12, boundary_frame=8)
+    stream, _src = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=T,
+        pcm_override=pcm)
+    p = tmp_path / "s.iamf"
+    p.write_bytes(stream)
+    subprocess.run([ref_player, "-o2", "-s9", str(p)], cwd=tmp_path,
+                   capture_output=True, check=True)
+    from iamf_tpu.utils.wav import read_wav
+
+    wav = tmp_path / "ss9_s.wav"
+    ref, _rate, _bits = read_wav(str(wav))
+    got = ShardedStreamDecoder(stream, n_devices=8, sound_system=9).decode_all()
+    n = min(len(ref), len(got))
+    assert n > 0
+    diff = np.abs(got[:n].astype(np.int32) - ref[:n].astype(np.int32))
+    assert diff.max() <= 1, f"max diff vs reference {diff.max()}"
