@@ -145,6 +145,21 @@ class ShardedStreamDecoder:
     def _put(self, a: np.ndarray, spec: P):
         return jax.device_put(a, NamedSharding(self.mesh, spec))
 
+    @staticmethod
+    def _fetch(arr) -> np.ndarray:
+        """Materialise a (possibly multi-host) sharded array on every host.
+
+        Single-process: plain d2h. Multi-process (jax.distributed over
+        DCN): an ordered `process_allgather` — each host contributes its
+        addressable PCM shards and receives the full timeline in order
+        (SURVEY §2.4's 'ordered gather of PCM to host 0'; every host gets
+        a copy, host 0 is the one that writes the WAV)."""
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
     def decode_all(self) -> np.ndarray:
         base = self.base
         cfg = base.cfg
@@ -210,7 +225,7 @@ class ShardedStreamDecoder:
             self.mesh, cfg, S, tuple(kinds), self.prerolls,
             tuple(chunks))(tuple(xs_sharded), params)
 
-        pcm = np.asarray(pcm_shards).reshape(S * F * T, cfg.out_channels)
+        pcm = self._fetch(pcm_shards).reshape(S * F * T, cfg.out_channels)
 
         # ---- host: limiter delay/drain + edge trims (same semantics as
         # BatchedStreamDecoder.decode_all). The last shard's padded zero
@@ -226,7 +241,7 @@ class ShardedStreamDecoder:
                 out = pcm[d:]
                 missing = need - pcm.shape[0]
                 state = jax.tree.map(
-                    lambda a: jnp.asarray(a[S - 1]), final_lim)
+                    lambda a: jnp.asarray(self._fetch(a)[S - 1]), final_lim)
                 _, drain = process_block(
                     cfg.limiter, state,
                     jnp.zeros((cfg.out_channels, d), jnp.float32))
