@@ -63,6 +63,12 @@ def _load_native():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(SpectrumMeta),
     ]
+    _lib.iamf_opus_decode_spectrum_batch.restype = ctypes.c_int
+    _lib.iamf_opus_decode_spectrum_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(SpectrumMeta),
+    ]
     return _lib
 
 
@@ -147,38 +153,54 @@ class OpusDecoder(CodecDecoder):
         t_new = np.full((B, L), MINPERIOD, np.int32)
         g_cur = np.zeros((B, L, 3), np.float32)
         g_new = np.zeros((B, L, 3), np.float32)
-        meta = SpectrumMeta()
-        fbuf = np.zeros(2 * 960, np.float32)
-        for b, packets in enumerate(frames):
-            lane = 0
-            for i, (ptr, ch) in enumerate(self._decoders):
-                pkt = packets[i]
-                if pkt is None:
-                    raise ValueError("missing opus sub packet")
-                r = lib.iamf_opus_decode_spectrum(
-                    ptr, bytes(pkt), len(pkt),
-                    fbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    ctypes.byref(meta),
-                )
-                if r < 0:
-                    raise ValueError(f"opus spectrum decode failed ({r})")
-                sl = slice(lane, lane + ch)
-                freq[b, sl] = fbuf[: ch * 960].reshape(ch, 960)
-                transient[b, sl] = bool(meta.transient)
-                pc = max(meta.pf_period, MINPERIOD)
-                po = max(meta.pf_period_old, MINPERIOD)
-                # LM=3 frames roll all postfilter params forward each frame,
-                # so the frame-start "old" and "current" sets always agree
-                # (celt_decoder.c rollover); the device comb relies on it.
-                assert po == pc and meta.pf_gain_old == meta.pf_gain, (
-                    "postfilter old/cur mismatch (non-LM3 stream?)")
-                t_cur[b, sl] = pc
-                t_new[b, sl] = max(meta.pf_period_new, MINPERIOD)
-                g_cur[b, sl] = (np.float32(meta.pf_gain)
-                                * gains_tab[meta.pf_tapset])
-                g_new[b, sl] = (np.float32(meta.pf_gain_new)
-                                * gains_tab[meta.pf_tapset_new])
-                lane += ch
+
+        # One native batch call per substream (iamf_opus_decode_spectrum_
+        # batch): substream codec states are independent, so substreams run
+        # on parallel host threads, each a single GIL-free native stretch
+        # over all B frames (the per-frame recurrences — energy prediction,
+        # range-coder reseed — chain inside the call, in frame order).
+        lanes = np.cumsum([0] + [ch for _, ch in self._decoders])
+
+        def run_substream(i):
+            ptr, ch = self._decoders[i]
+            pkts = [frames[b][i] for b in range(B)]
+            if any(p is None for p in pkts):
+                raise ValueError("missing opus sub packet")
+            blob = b"".join(bytes(p) for p in pkts)
+            sizes = np.array([len(p) for p in pkts], np.int32)
+            fout = np.empty((B, ch, 960), np.float32)
+            metas = (SpectrumMeta * B)()
+            r = lib.iamf_opus_decode_spectrum_batch(
+                ptr, blob, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                B, ch,
+                fout.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), metas)
+            if r < 0:
+                raise ValueError(f"opus spectrum decode failed ({r})")
+            sl = slice(lanes[i], lanes[i + 1])
+            freq[:, sl] = fout
+            m = np.frombuffer(memoryview(metas), dtype=np.int32).reshape(B, 11)
+            mf = m.view(np.float32)
+            transient[:, sl] = (m[:, 1] != 0)[:, None]
+            pc = np.maximum(m[:, 5], MINPERIOD)
+            po = np.maximum(m[:, 2], MINPERIOD)
+            # LM=3 frames roll all postfilter params forward each frame, so
+            # the frame-start "old" and "current" sets always agree
+            # (celt_decoder.c rollover); the device comb relies on it.
+            assert np.array_equal(po, pc) and np.array_equal(
+                mf[:, 3], mf[:, 6]), "postfilter old/cur mismatch (non-LM3?)"
+            t_cur[:, sl] = pc[:, None]
+            t_new[:, sl] = np.maximum(m[:, 8], MINPERIOD)[:, None]
+            g_cur[:, sl] = (mf[:, 6, None] * gains_tab[m[:, 7]])[:, None, :]
+            g_new[:, sl] = (mf[:, 9, None] * gains_tab[m[:, 10]])[:, None, :]
+
+        if len(self._decoders) > 1 and B > 1:
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(len(self._decoders)) as ex:
+                list(ex.map(run_substream, range(len(self._decoders))))
+        else:
+            for i in range(len(self._decoders)):
+                run_substream(i)
         active = np.concatenate(
             [np.where(np.any(g_cur != 0, -1), t_cur, 1 << 30).ravel(),
              np.where(np.any(g_new != 0, -1), t_new, 1 << 30).ravel()])

@@ -95,6 +95,7 @@ class BatchedStreamDecoder:
                 raw_events.append(
                     ("frame", f.substream_id, f.trim_start, f.trim_end))
 
+        self._step_cache: dict = {}
         mp = self.db.mix_presentations[0]
         sub = mp.sub_mixes[0]
         out_ch = self.layout.channels
@@ -276,6 +277,43 @@ class BatchedStreamDecoder:
             opus=opus, aac=aac, gain=gain,
         )
 
+    def _fused_step(self, key: tuple):
+        """One jitted program per (chunk-variant) key: codec synthesis
+        (opus CELT / AAC filterbank) fused with the decode pipeline —
+        a single device dispatch per batch instead of one per stage (the
+        tunneled dispatch round-trip is ~25 ms, comparable to the whole
+        batch's compute)."""
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+
+        cfg = self.cfg
+        elems = self.elems
+        opus_synth = self.opus_synth
+        aac_synth = self.aac_synth
+
+        @jax.jit
+        def step(carry, params, bufs):
+            xs = []
+            syn = []
+            for i, e in enumerate(elems):
+                if e.opus:
+                    x, s = opus_synth.synthesize_packed(
+                        bufs[i], carry["syn"][i], chunk=key[i])
+                elif e.aac:
+                    x, s = aac_synth.synthesize_packed(
+                        bufs[i], carry["syn"][i])
+                else:
+                    x, s = bufs[i], carry["syn"][i]
+                xs.append(x)
+                syn.append(s)
+            pipe, pcm = decode_frames(cfg, carry["pipe"], params, xs)
+            return {"pipe": pipe, "syn": syn}, pcm
+
+        self._step_cache[key] = step
+        return step
+
     def _opus_celt_960(self, el) -> bool:
         """The device CELT synthesis covers CELT-only 20 ms packets (the
         IAMF operating point). SILK/hybrid TOCs fall back to the host
@@ -425,30 +463,29 @@ class BatchedStreamDecoder:
         device_outs = []
         counts = []
         xs_shapes = None
+        step_carry = {"pipe": carry, "syn": elem_syn_carry}
         pending = submit(0) if n_batches else None
         for bi in range(n_batches):
             count, futs = pending
             pending = submit(bi + 1) if bi + 1 < n_batches else None
-            xs_list = []
+            bufs = []
+            key = []
             for i, e in enumerate(self.elems):
                 item = futs[i]
                 if isinstance(item, tuple):
                     xs_np, aux = host_batch(*item)
                 else:
                     xs_np, aux = item.result()
-                buf = jnp.asarray(xs_np)
-                if e.opus:
-                    xs, elem_syn_carry[i] = self.opus_synth.synthesize_packed(
-                        buf, elem_syn_carry[i], chunk=aux)
-                elif e.aac:
-                    xs, elem_syn_carry[i] = self.aac_synth.synthesize_packed(
-                        buf, elem_syn_carry[i])
-                else:
-                    xs = buf
-                xs_list.append(xs)
-            xs_shapes = [(x.shape, x.dtype) for x in xs_list]
-            carry, pcm = decode_frames(self.cfg, carry, stream_params,
-                                       xs_list)
+                bufs.append(jnp.asarray(xs_np))
+                key.append(aux if e.opus else None)
+            # synthesized-x shapes for the zero-input limiter drain below
+            xs_shapes = [
+                ((B, b.shape[1], T), jnp.float32) if (e.opus or e.aac)
+                else (b.shape, b.dtype)
+                for e, b in zip(self.elems, bufs)
+            ]
+            step_carry, pcm = self._fused_step(tuple(key))(
+                step_carry, stream_params, bufs)
             device_outs.append(pcm)
             counts.append(count)
             if fetch_pool is not None:
@@ -457,6 +494,7 @@ class BatchedStreamDecoder:
                 except AttributeError:  # non-jax array (tests)
                     pass
                 fetch_futs.append(fetch_pool.submit(np.asarray, pcm))
+        carry = step_carry["pipe"]
 
         if entropy_pool is not None:
             entropy_pool.shutdown(wait=False)

@@ -146,6 +146,41 @@ def hrir_bank(layout: ChannelLayout, taps: int = 256, rate: int = 48000):
     return bank
 
 
+def load_hrir_bank(path: str, layout: ChannelLayout) -> np.ndarray:
+    """Load a measured HRIR set for a layout from an .npz file.
+
+    Accepted forms (all [left, right] ear order, 48 kHz):
+      - key "bank": [2, n_speakers, taps] already in the layout's rendering
+        channel order (LAYOUT_CHANNELS_RENDER), used as-is;
+      - per-direction keys "az<azimuth>_el<elevation>": [2, taps] pairs
+        (e.g. "az30_el0"), gathered by each channel's BS.2051 nominal
+        direction from CHANNEL_DIRECTIONS — the shape SADIE-style sets
+        export to.
+    Replaces the parametric spherical-head default (hrir_bank) without any
+    renderer change: pass the result as HRTFRenderer(bank=...).
+    """
+    z = np.load(path)
+    chans = LAYOUT_CHANNELS_RENDER[layout]
+    if "bank" in z:
+        bank = np.asarray(z["bank"], np.float32)
+        if bank.ndim != 3 or bank.shape[0] != 2 or bank.shape[1] != len(chans):
+            raise ValueError(
+                f"bank shape {bank.shape} != [2, {len(chans)}, taps]")
+        return bank
+    rows = []
+    for c in chans:
+        az, el = CHANNEL_DIRECTIONS[c]
+        key = f"az{int(round(az))}_el{int(round(el))}"
+        if key not in z:
+            raise ValueError(f"HRIR set missing direction {key} for {c}")
+        rows.append(np.asarray(z[key], np.float32))
+    taps = max(r.shape[1] for r in rows)
+    bank = np.zeros((2, len(chans), taps), np.float32)
+    for i, r in enumerate(rows):
+        bank[:, i, : r.shape[1]] = r
+    return bank
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _fft_conv_block(x, H, overlap, taps: int):
     """Overlap-save frequency-domain convolution of one frame.
@@ -168,11 +203,15 @@ class HRTFRenderer:
     """Streaming binaural renderer for one element (M2B/H2B equivalent)."""
 
     def __init__(self, layout: ChannelLayout, frame_size: int,
-                 taps: int = 256, rate: int = 48000):
+                 taps: int = 256, rate: int = 48000,
+                 bank: np.ndarray | None = None):
         self.layout = layout
-        self.taps = taps
         self.frame_size = frame_size
-        bank = hrir_bank(layout, taps, rate)  # [2, C, taps]
+        if bank is None:
+            bank = hrir_bank(layout, taps, rate)  # [2, C, taps]
+        else:
+            bank = np.asarray(bank, np.float32)  # measured set
+        self.taps = taps = bank.shape[2]
         n = frame_size + taps - 1
         self.H = jnp.asarray(np.fft.rfft(bank, n=n, axis=2))
         self.overlap = jnp.zeros((2, taps - 1), jnp.float32)

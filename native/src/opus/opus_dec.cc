@@ -350,4 +350,25 @@ int iamf_opus_decode_spectrum(void* ptr, const unsigned char* data, int len,
   meta->pf_tapset_new = d->celt.postfilter_tapset;
   return ret;
 }
+
+// Batch form: decode `n` consecutive packets of ONE substream in a single
+// call (packets concatenated in `data`, per-packet byte sizes in `sizes`).
+// freq_out is [n][channels][960]; metas is [n]. Eliminates the per-frame
+// FFI round trip and lets the Python layer run one long GIL-free native
+// stretch per substream, so substreams decode on parallel host threads
+// (their codec states are independent by construction — each IAMF
+// substream is a self-contained Opus stream).
+int iamf_opus_decode_spectrum_batch(void* ptr, const unsigned char* data,
+                                    const int* sizes, int n, int channels,
+                                    float* freq_out, SpectrumMeta* metas) {
+  const unsigned char* p = data;
+  for (int k = 0; k < n; ++k) {
+    int r = iamf_opus_decode_spectrum(ptr, p, sizes[k],
+                                      freq_out + (size_t)k * channels * 960,
+                                      metas + k);
+    if (r < 0) return -(k * 100000) + r;  // encode failing frame index
+    p += sizes[k];
+  }
+  return n;
+}
 }

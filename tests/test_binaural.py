@@ -72,6 +72,116 @@ def test_hrtf_h2b_renders():
     assert np.abs(out).max() > 0
 
 
+def test_fft_conv_matches_direct_convolution():
+    """Golden oracle: the streaming overlap FFT convolution must equal
+    per-channel np.convolve summed over speakers, across frame boundaries
+    (the [2, taps-1] overlap carry included)."""
+    from iamf_tpu.dsp.binaural import HRTFRenderer, hrir_bank
+
+    layout = ChannelLayout.L510
+    T, n_frames = 480, 4
+    rend = HRTFRenderer(layout, frame_size=T)
+    bank = hrir_bank(layout)  # [2, C, taps]
+    C = bank.shape[1]
+    rng = np.random.RandomState(5)
+    x = rng.randn(C, n_frames * T).astype(np.float32) * 0.3
+
+    got = np.concatenate(
+        [rend.render(x[:, f * T:(f + 1) * T]) for f in range(n_frames)],
+        axis=1)
+    want = np.zeros((2, n_frames * T))
+    for e in range(2):
+        for c in range(C):
+            want[e] += np.convolve(x[c].astype(np.float64),
+                                   bank[e, c])[: n_frames * T]
+    err = np.abs(got - want).max()
+    assert err < 1e-4, f"conv mismatch {err}"
+
+
+def test_itd_matches_woodworth():
+    """Measured inter-ear delay equals the Woodworth model's prediction
+    (the HRIR generator's own parameters) within half a sample."""
+    import math
+    from iamf_tpu.dsp.binaural import (
+        HEAD_RADIUS, SPEED_OF_SOUND, spherical_head_hrir)
+
+    rate = 48000
+
+    def woodworth_itd(az_deg):
+        az = math.radians(az_deg)
+        d = []
+        for sign in (1.0, -1.0):  # left, right ear
+            inc = math.acos(max(-1.0, min(1.0, math.sin(az * sign))))
+            if inc <= math.pi / 2:
+                dt = -HEAD_RADIUS / SPEED_OF_SOUND * math.cos(inc)
+            else:
+                dt = HEAD_RADIUS / SPEED_OF_SOUND * (inc - math.pi / 2)
+            d.append(dt * rate)
+        return d[1] - d[0]  # right minus left, samples
+
+    for az in (30.0, 60.0, 90.0, 110.0):
+        h = spherical_head_hrir(az, 0.0, taps=512, rate=rate)
+        # group delay via cross-correlation peak with 16x oversampling
+        n = 1 << 14
+        X0 = np.fft.rfft(h[0], n)
+        X1 = np.fft.rfft(h[1], n)
+        xc = np.fft.irfft(X1 * np.conj(X0), 16 * n)
+        lag = np.argmax(xc)
+        if lag > 8 * n:
+            lag -= 16 * n
+        measured = lag / 16.0
+        want = woodworth_itd(az)
+        assert abs(measured - want) <= 0.5, (az, measured, want)
+        assert measured > 0  # left source: left ear leads
+
+
+def test_ild_by_direction():
+    """ILD magnitude: lateral sources show a strong level difference with
+    the correct sign; a frontal source is symmetric."""
+    from iamf_tpu.dsp.binaural import spherical_head_hrir
+
+    def ild_db(az):
+        h = spherical_head_hrir(az, 0.0)
+        el = (h[0].astype(np.float64) ** 2).sum()
+        er = (h[1].astype(np.float64) ** 2).sum()
+        return 10.0 * np.log10(el / er)
+
+    assert abs(ild_db(0.0)) < 0.5
+    assert ild_db(90.0) > 6.0
+    assert ild_db(-90.0) < -6.0
+    assert ild_db(30.0) > 1.0
+    # monotone toward the side
+    assert ild_db(90.0) > ild_db(45.0) > ild_db(15.0)
+
+
+def test_measured_hrir_bank_loading(tmp_path):
+    """A measured HRIR set (.npz) replaces the parametric model and the
+    renderer convolves with exactly those impulse responses."""
+    from iamf_tpu.dsp.binaural import HRTFRenderer, load_hrir_bank
+
+    layout = ChannelLayout.STEREO
+    rng = np.random.RandomState(9)
+    taps = 64
+    # per-direction keys (SADIE-style export): L2 az30, R2 az-30
+    h30 = rng.randn(2, taps).astype(np.float32) * 0.1
+    hm30 = rng.randn(2, taps).astype(np.float32) * 0.1
+    p = tmp_path / "set.npz"
+    np.savez(p, az30_el0=h30, **{"az-30_el0": hm30})
+    bank = load_hrir_bank(str(p), layout)
+    assert bank.shape == (2, 2, taps)
+
+    T = 128
+    rend = HRTFRenderer(layout, frame_size=T, bank=bank)
+    x = rng.randn(2, T).astype(np.float32)
+    got = rend.render(x)
+    want = np.zeros((2, T))
+    for e in range(2):
+        for c in range(2):
+            want[e] += np.convolve(x[c].astype(np.float64),
+                                   bank[e, c])[:T]
+    assert np.abs(got - want).max() < 1e-5
+
+
 def test_hrir_bank_properties():
     from iamf_tpu.dsp.binaural import hrir_bank, spherical_head_hrir
 
