@@ -18,8 +18,10 @@ general path (reconfigure, resampling, binaural, seek).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import (
@@ -55,6 +57,41 @@ class _ElemCtx:
     opus: bool
     aac: bool
     gain: float  # element default mix gain (linear)
+
+
+# The batched path pins the comb-filter chunk to 13 — safe for every legal
+# period (>= MINPERIOD 15) — so ONE compiled program covers any content.
+# The chunked comb costs ~nothing at batch scale (a 128-frame batch
+# executes in ~5 ms on a v5e), while every extra program variant costs a
+# ~2 min remote compile through the axon tunnel.
+_BATCH_COMB_CHUNK = 13
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
+    """Codec synthesis (opus CELT / AAC filterbank) fused with the decode
+    pipeline: ONE device dispatch per batch instead of one per stage (the
+    tunneled dispatch round-trip is ~25 ms, comparable to a whole batch's
+    compute). Module-level jit keyed on the static (cfg, kinds) so fresh
+    decoder instances share the compiled program."""
+    xs = []
+    syn = []
+    for i, kind in enumerate(kinds):
+        if kind == "opus":
+            from ..codecs.opus import tpu_synth
+
+            x, s = tpu_synth.synthesize_packed(
+                bufs[i], carry["syn"][i], chunk=_BATCH_COMB_CHUNK)
+        elif kind == "aac":
+            from ..codecs.aac import tpu_synth as aac_synth
+
+            x, s = aac_synth.synthesize_packed(bufs[i], carry["syn"][i])
+        else:
+            x, s = bufs[i], carry["syn"][i]
+        xs.append(x)
+        syn.append(s)
+    pipe, pcm = decode_frames(cfg, carry["pipe"], params, xs)
+    return {"pipe": pipe, "syn": syn}, pcm
 
 
 class BatchedStreamDecoder:
@@ -95,7 +132,6 @@ class BatchedStreamDecoder:
                 raw_events.append(
                     ("frame", f.substream_id, f.trim_start, f.trim_end))
 
-        self._step_cache: dict = {}
         mp = self.db.mix_presentations[0]
         sub = mp.sub_mixes[0]
         out_ch = self.layout.channels
@@ -154,6 +190,41 @@ class BatchedStreamDecoder:
             out_gain_default, norm_gain,
         )
 
+        # Edge-trim semantics (iamf_frame_trim, IAMF_decoder.c:1361-1381):
+        # the reference deletes trimmed samples BEFORE the limiter. With a
+        # limiter active, trimmed samples are zeroed via a per-sample
+        # out-gain mask and the head total is spliced out of the mixed
+        # timeline on device (PipelineConfig.head_trim), so the limiter
+        # envelope matches the reference exactly even when it is engaged at
+        # a trim boundary. Without a limiter, post-quantize slicing is
+        # equivalent and cheaper.
+        nf = self.n_frames
+        self.lead = sum(t[0] for t in self.trims[:nf])
+        self.tail = sum(t[1] for t in self.trims[:nf])
+        T = self.frame_size
+        head_trim = (self.lead if limiter
+                     and 0 < self.lead <= batch_frames * T else 0)
+        if head_trim:
+            og = self.params.out_gain
+            if og.ndim == 1:
+                og = np.repeat(og[:, None], T, axis=1).astype(np.float32)
+            else:
+                og = og.copy()
+            rem, u = head_trim, 0
+            while rem > 0 and u < len(og):
+                k = min(rem, T)
+                og[u, :k] = 0.0
+                rem -= k
+                u += 1
+            rem, u = self.tail, nf - 1
+            while rem > 0 and u >= 0:
+                k = min(rem, T)
+                og[u, T - k:] = 0.0
+                rem -= k
+                u -= 1
+            self.params.out_gain = og
+            self.params.out_gain_per_sample = True
+
         self.cfg = PipelineConfig(
             frame_size=self.frame_size,
             out_channels=out_ch,
@@ -181,6 +252,7 @@ class BatchedStreamDecoder:
             ) if limiter else None,
             per_sample_out_gain=self.params.out_gain_per_sample,
             batch_frames=batch_frames,
+            head_trim=head_trim,
         )
 
     def _open_element(self, item, econf, sound_system, out_ch) -> _ElemCtx:
@@ -276,43 +348,6 @@ class BatchedStreamDecoder:
             n_in=n_in, input_scale=input_scale, raw_input=raw_input,
             opus=opus, aac=aac, gain=gain,
         )
-
-    def _fused_step(self, key: tuple):
-        """One jitted program per (chunk-variant) key: codec synthesis
-        (opus CELT / AAC filterbank) fused with the decode pipeline —
-        a single device dispatch per batch instead of one per stage (the
-        tunneled dispatch round-trip is ~25 ms, comparable to the whole
-        batch's compute)."""
-        fn = self._step_cache.get(key)
-        if fn is not None:
-            return fn
-        import jax
-
-        cfg = self.cfg
-        elems = self.elems
-        opus_synth = self.opus_synth
-        aac_synth = self.aac_synth
-
-        @jax.jit
-        def step(carry, params, bufs):
-            xs = []
-            syn = []
-            for i, e in enumerate(elems):
-                if e.opus:
-                    x, s = opus_synth.synthesize_packed(
-                        bufs[i], carry["syn"][i], chunk=key[i])
-                elif e.aac:
-                    x, s = aac_synth.synthesize_packed(
-                        bufs[i], carry["syn"][i])
-                else:
-                    x, s = bufs[i], carry["syn"][i]
-                xs.append(x)
-                syn.append(s)
-            pipe, pcm = decode_frames(cfg, carry["pipe"], params, xs)
-            return {"pipe": pipe, "syn": syn}, pcm
-
-        self._step_cache[key] = step
-        return step
 
     def _opus_celt_960(self, el) -> bool:
         """The device CELT synthesis covers CELT-only 20 ms packets (the
@@ -461,40 +496,57 @@ class BatchedStreamDecoder:
         fetch_pool = _cf.ThreadPoolExecutor(8) if fetch else None
         fetch_futs = []
         device_outs = []
-        counts = []
-        xs_shapes = None
+        kinds = tuple(
+            "opus" if e.opus else ("aac" if e.aac else "raw")
+            for e in self.elems)
         step_carry = {"pipe": carry, "syn": elem_syn_carry}
+
+        # Output bookkeeping. With the pre-limiter trim splice
+        # (cfg.head_trim), every call's PCM is delayed one batch and the
+        # first call emits only warmup zeros, so the kept stream starts at
+        # call 1; enough zero-input flush calls are appended to surface the
+        # spliced latency plus the limiter drain (all pure pad: padded
+        # parameter rows are neutral and the limiter just drains).
+        lead = self.lead
+        tail = self.tail
+        want = n * T - lead - tail
+        k0 = 1 if self.cfg.head_trim else 0
+        if self.cfg.limiter is not None:
+            needed = want + self.cfg.limiter.delay_size
+            if not self.cfg.head_trim:
+                needed = n * T + self.cfg.limiter.delay_size  # fallback
+        else:
+            needed = want + lead
+        total_calls = n_batches
+        while (total_calls - k0) * B * T < needed:
+            total_calls += 1
+
+        zero_bufs = None
         pending = submit(0) if n_batches else None
-        for bi in range(n_batches):
-            count, futs = pending
-            pending = submit(bi + 1) if bi + 1 < n_batches else None
-            bufs = []
-            key = []
-            for i, e in enumerate(self.elems):
-                item = futs[i]
-                if isinstance(item, tuple):
-                    xs_np, aux = host_batch(*item)
-                else:
-                    xs_np, aux = item.result()
-                bufs.append(jnp.asarray(xs_np))
-                key.append(aux if e.opus else None)
-            # synthesized-x shapes for the zero-input limiter drain below
-            xs_shapes = [
-                ((B, b.shape[1], T), jnp.float32) if (e.opus or e.aac)
-                else (b.shape, b.dtype)
-                for e, b in zip(self.elems, bufs)
-            ]
-            step_carry, pcm = self._fused_step(tuple(key))(
-                step_carry, stream_params, bufs)
+        for bi in range(total_calls):
+            if bi < n_batches:
+                count, futs = pending
+                pending = submit(bi + 1) if bi + 1 < n_batches else None
+                bufs = []
+                for i, e in enumerate(self.elems):
+                    item = futs[i]
+                    if isinstance(item, tuple):
+                        xs_np, _aux = host_batch(*item)
+                    else:
+                        xs_np, _aux = item.result()
+                    bufs.append(jnp.asarray(xs_np))
+                zero_bufs = [jnp.zeros(b.shape, b.dtype) for b in bufs]
+            else:
+                bufs = zero_bufs  # flush: zero input, neutral params
+            step_carry, pcm = _fused_decode(
+                self.cfg, kinds, step_carry, stream_params, bufs)
             device_outs.append(pcm)
-            counts.append(count)
             if fetch_pool is not None:
                 try:
                     pcm.copy_to_host_async()
                 except AttributeError:  # non-jax array (tests)
                     pass
                 fetch_futs.append(fetch_pool.submit(np.asarray, pcm))
-        carry = step_carry["pipe"]
 
         if entropy_pool is not None:
             entropy_pool.shutdown(wait=False)
@@ -504,35 +556,18 @@ class BatchedStreamDecoder:
             return device_outs
         fetched = [f.result() for f in fetch_futs]
         fetch_pool.shutdown()
-        outs = [f[: c * T] for f, c in zip(fetched, counts)]
-        out = np.concatenate(outs, axis=0)
-        # limiter look-ahead: drop the first delay samples, drain the tail
-        # (iamf_delay_buffer_handle IAMF_decoder.c:3250-3301 pushes zeros
-        # through the limiter delay line at flush)
-        if self.cfg.limiter is not None and counts:
+        full = np.concatenate(fetched[k0:], axis=0)
+        if self.cfg.limiter is not None:
+            # limiter look-ahead: drop the first delay_size rows; the
+            # trailing pad batches already pushed zeros through the delay
+            # line (iamf_delay_buffer_handle IAMF_decoder.c:3250-3301)
             d = self.cfg.limiter.delay_size
-            out = out[d:]
-            need = -(-d // T)  # frames of zero input to flush the delay line
-            avail = B - counts[-1]
-            if avail >= need:
-                # padded frames of the last batch already ran zeros through
-                # the pipeline: their output IS the drained tail
-                c = counts[-1]
-                drain = fetched[-1][c * T:(c + need) * T]
-            else:
-                carry, pcm = decode_frames(
-                    self.cfg, carry, stream_params,
-                    [jnp.zeros(s, dt) for s, dt in xs_shapes])
-                drain = np.asarray(pcm)[: need * T]
-            out = np.concatenate([out, drain[:d]], axis=0)
-        # edge trims (codec pre-skip etc.): the IAMF spec restricts trimming
-        # to the stream head/tail, so the batched path applies the totals to
-        # the assembled output (the per-frame api path trims pre-mix; the two
-        # agree whenever the limiter is not engaged at the boundary)
-        lead = sum(t[0] for t in self.trims[:n])
-        tail = sum(t[1] for t in self.trims[:n])
-        if lead:
-            out = out[lead:]
-        if tail:
-            out = out[: len(out) - tail]
-        return out
+            if self.cfg.head_trim:
+                # head trim was spliced out pre-limiter, tail zeroed via
+                # the out-gain mask: `full` IS the trimmed timeline
+                return full[d: d + want]
+            # fallback (head trim larger than a batch): trim after the
+            # limiter — the pre-round-2 approximation
+            out = full[d: d + n * T]
+            return out[lead: lead + want]
+        return full[lead: lead + want]

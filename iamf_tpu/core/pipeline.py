@@ -68,6 +68,13 @@ class PipelineConfig:
     limiter: Optional[LimiterConfig]
     per_sample_out_gain: bool = False
     batch_frames: int = 128  # B: frames per decode_frames call
+    head_trim: int = 0  # leading samples spliced out PRE-limiter: the
+    #   reference trims per frame before mixing (iamf_frame_trim,
+    #   IAMF_decoder.c:1361-1381), so trimmed samples never drive the
+    #   limiter envelope. The splice delays output by one batch (the carry
+    #   holds the previous batch's mixed samples); callers discard the
+    #   first call's output. Only set when a limiter is active — without
+    #   one, trimming after quantize is equivalent.
 
 
 def _limiter_block(cfg: LimiterConfig, state: dict, x):
@@ -234,6 +241,17 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
 
     mixed = jax.vmap(lambda inp: _frame_compute(cfg, inp))(per_frame_inputs)
 
+    if cfg.head_trim:
+        # pre-limiter trim splice (see PipelineConfig.head_trim): delete the
+        # stream's leading trimmed samples from the mixed timeline so the
+        # limiter envelope never sees them, at a one-batch output latency
+        Bc, C, Tc = mixed.shape
+        flat0 = mixed.transpose(1, 0, 2).reshape(C, Bc * Tc)
+        seq = jnp.concatenate([carry["splice"], flat0], axis=1)
+        win = seq[:, cfg.head_trim: cfg.head_trim + Bc * Tc]
+        carry = dict(carry, splice=flat0)
+        mixed = win.reshape(C, Bc, Tc).transpose(1, 0, 2)
+
     if cfg.limiter is not None:
         lim = cfg.limiter
         B, C, T = mixed.shape
@@ -324,4 +342,8 @@ def init_carry(cfg: PipelineConfig) -> dict:
     carry = {"pos": jnp.zeros((), jnp.int32)}
     if cfg.limiter is not None:
         carry["limiter"] = init_state(cfg.limiter)
+    if cfg.head_trim:
+        carry["splice"] = jnp.zeros(
+            (cfg.out_channels, cfg.batch_frames * cfg.frame_size),
+            jnp.float32)
     return carry

@@ -108,7 +108,7 @@ class ShardedStreamDecoder:
         self.n_shards = mesh.shape["frames"]
         self.base = BatchedStreamDecoder(
             data, sound_system=sound_system, bits=bits, limiter=limiter,
-            batch_frames=1,  # unused: we drive the pipeline ourselves
+            batch_frames=128,  # only gates head_trim; we drive the pipeline
         )
         base = self.base
         # per-element overlap prefix: 1 frame for filterbank carries
@@ -124,6 +124,8 @@ class ShardedStreamDecoder:
         n = base.n_frames
         self.frames_per_shard = -(-n // self.n_shards)
         self.n_frames = n
+        assert base.cfg.head_trim <= self.frames_per_shard * base.frame_size, (
+            "head trim exceeds one shard's samples")
 
     def _shard_rows(self, a: np.ndarray, fill, preroll: int) -> np.ndarray:
         """[N, ...] per-frame rows -> [S, preroll+F, ...] with the preroll
@@ -228,18 +230,22 @@ class ShardedStreamDecoder:
         pcm = self._fetch(pcm_shards).reshape(S * F * T, cfg.out_channels)
 
         # ---- host: limiter delay/drain + edge trims (same semantics as
-        # BatchedStreamDecoder.decode_all). The last shard's padded zero
-        # frames already ran through the limiter chain, so rows
-        # [n*T, n*T+d) of pcm ARE the flush drain; only when the stream
-        # fills the mesh exactly is an explicit drain step needed.
+        # BatchedStreamDecoder.decode_all). The trailing padded zero frames
+        # already ran through the limiter chain, so the rows right after
+        # the stream ARE the flush drain; only when the stream fills the
+        # mesh exactly is an explicit drain step needed.
+        lead, tail = base.lead, base.tail
+        want = n * T - lead - tail
         if cfg.limiter is not None:
             d = cfg.limiter.delay_size
-            need = n * T + d
-            if need <= pcm.shape[0]:
-                out = pcm[d:need]
+            # with the splice halo, pcm IS the trimmed timeline; otherwise
+            # (head trim absent or too large) trim after the limiter
+            start = d if cfg.head_trim else d + lead
+            if start + want <= pcm.shape[0]:
+                out = pcm[start: start + want]
             else:
-                out = pcm[d:]
-                missing = need - pcm.shape[0]
+                out = pcm[start:]
+                missing = start + want - pcm.shape[0]
                 state = jax.tree.map(
                     lambda a: jnp.asarray(self._fetch(a)[S - 1]), final_lim)
                 _, drain = process_block(
@@ -247,15 +253,8 @@ class ShardedStreamDecoder:
                     jnp.zeros((cfg.out_channels, d), jnp.float32))
                 q = np.asarray(quantize_interleave(drain, cfg.bits))
                 out = np.concatenate([out, q[:missing]], axis=0)
-        else:
-            out = pcm[: n * T]
-        lead = sum(t[0] for t in base.trims[:n])
-        tail = sum(t[1] for t in base.trims[:n])
-        if lead:
-            out = out[lead:]
-        if tail:
-            out = out[: len(out) - tail]
-        return out
+            return out
+        return pcm[lead: lead + want]
 
 
 def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
@@ -346,6 +345,18 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
         mixed = jax.vmap(lambda inp: _frame_compute(cfg, inp))(pf)
         Fl = mixed.shape[0]
         flat = mixed.transpose(1, 0, 2).reshape(cfg.out_channels, Fl * T)
+
+        if cfg.head_trim:
+            # pre-limiter trim splice, sharded form: the stream's leading
+            # trimmed samples (zeroed by the out-gain mask) are deleted
+            # from the global timeline by shifting every shard left by
+            # head_trim — one ppermute halo of the RIGHT neighbour's first
+            # samples (the last shard backfills with zeros: pad region)
+            h = cfg.head_trim
+            halo = jax.lax.ppermute(
+                flat[:, :h], "frames",
+                [(i, i - 1) for i in range(1, n_shards)])
+            flat = jnp.concatenate([flat[:, h:], halo], axis=1)
 
         # ---- stage 4 (chain): limiter envelope
         if cfg.limiter is not None:

@@ -115,7 +115,15 @@ static BookInfo g_books[12];  // 1..11
 static HuffLut g_scf;
 static bool g_init = false;
 
+static void init_books_impl();
+
 static void init_books() {
+  // thread-safe one-time init (decode may run on parallel host threads)
+  static const bool once = [] { init_books_impl(); return true; }();
+  (void)once;
+}
+
+static void init_books_impl() {
   if (g_init) return;
   struct D {
     const unsigned short* c;
@@ -643,7 +651,15 @@ static void kbd_window(float* w, int n, double alpha) {
   }
 }
 
+static void init_fb_impl();
+
 static void init_fb() {
+  // thread-safe one-time init (decode may run on parallel host threads)
+  static const bool once = [] { init_fb_impl(); return true; }();
+  (void)once;
+}
+
+static void init_fb_impl() {
   if (g_fb) return;
   g_fb = new FbTables();
   g_fb->b_long.resize(2048 * 1024);

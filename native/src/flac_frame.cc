@@ -120,7 +120,7 @@ bool decode_subframe(BitReader& br, int64_t* out, int blocksize, int bps) {
   if (br.u(1)) wasted = br.unary() + 1;
   bps -= wasted;
 
-  static int32_t res[65536];
+  static thread_local int32_t res[65536];
 
   if (type == 0) {  // CONSTANT
     int64_t v = br.s(bps);

@@ -21,20 +21,24 @@
 
 namespace iamf_opus {
 
-static const float* basis_for_shift(int shift) {
-  static float* bases[4] = {nullptr, nullptr, nullptr, nullptr};
-  if (!bases[shift]) {
-    int N2 = (SHORT_MDCT_SIZE * 8) >> shift;  // 960>>shift
-    int N = 2 * N2;
-    float* m = new float[(size_t)N2 * N2];
-    for (int j = 0; j < N2; ++j) {
-      for (int k = 0; k < N2; ++k) {
-        double ang = 2.0 * M_PI / N * (j + N / 2.0 + 0.5) * (k + 0.5);
-        m[(size_t)j * N2 + k] = (float)cos(ang);
-      }
+static const float* build_basis(int shift) {
+  int N2 = (SHORT_MDCT_SIZE * 8) >> shift;  // 960>>shift
+  int N = 2 * N2;
+  float* m = new float[(size_t)N2 * N2];
+  for (int j = 0; j < N2; ++j) {
+    for (int k = 0; k < N2; ++k) {
+      double ang = 2.0 * M_PI / N * (j + N / 2.0 + 0.5) * (k + 0.5);
+      m[(size_t)j * N2 + k] = (float)cos(ang);
     }
-    bases[shift] = m;
   }
+  return m;
+}
+
+static const float* basis_for_shift(int shift) {
+  // magic-static: thread-safe one-time build of all four bases (decode
+  // runs on parallel host threads, one per substream)
+  static const float* bases[4] = {build_basis(0), build_basis(1),
+                                  build_basis(2), build_basis(3)};
   return bases[shift];
 }
 

@@ -16,11 +16,13 @@ namespace iamf_opus {
 constexpr int U_MAX_N = 212;
 constexpr int U_MAX_K = 132;
 
-static uint32_t* u_table() {
-  static uint32_t* tab = nullptr;
-  if (!tab) {
+static const uint32_t* u_table() {
+  // magic-static initialization: C++11 guarantees exactly one thread runs
+  // the builder (substreams decode on parallel host threads — a manual
+  // `if (!tab)` lazy init here double-freed the DP scratch under races)
+  static const uint32_t* tab = [] {
     // u64 DP then saturate-store (all used values fit u32)
-    static uint64_t* dp = new uint64_t[(size_t)U_MAX_N * U_MAX_K];
+    uint64_t* dp = new uint64_t[(size_t)U_MAX_N * U_MAX_K];
     for (int k = 0; k < U_MAX_K; ++k) dp[k] = 0;  // n = 0
     for (int n = 1; n < U_MAX_N; ++n) {
       dp[(size_t)n * U_MAX_K + 0] = 0;
@@ -33,12 +35,12 @@ static uint32_t* u_table() {
         dp[(size_t)n * U_MAX_K + k] = v;
       }
     }
-    static uint32_t* t32 = new uint32_t[(size_t)U_MAX_N * U_MAX_K];
+    uint32_t* t32 = new uint32_t[(size_t)U_MAX_N * U_MAX_K];
     for (size_t i = 0; i < (size_t)U_MAX_N * U_MAX_K; ++i)
       t32[i] = (uint32_t)dp[i];
     delete[] dp;
-    tab = t32;
-  }
+    return (const uint32_t*)t32;
+  }();
   return tab;
 }
 
