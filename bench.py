@@ -1,13 +1,31 @@
 """Benchmark: realtime-x decoding 48 kHz 7.1.4 IAMF to sound system J.
 
-Synthesizes a 7.1.4 PCM IAMF stream, decodes it end-to-end (host OBU parse +
-codec unpack + batched TPU pipeline: demix -> render matmul -> gains -> mix
--> limiter -> quantize), and reports the realtime factor.
+Synthesizes 7.1.4 IAMF streams (PCM and Opus content), decodes them
+end-to-end (host OBU parse + codec unpack/entropy + batched TPU pipeline:
+codec synthesis -> demix -> render matmul -> gains -> mix -> limiter ->
+quantize), and reports realtime factors for both, plus the aggregate
+N-stream serving throughput and the reference iamfplayer's rate on the
+same streams.
 
-Baseline: the reference (Samsung/iac) publishes no numbers; its implied
-design point is faster-than-realtime single-core decode (BASELINE.md), so
-vs_baseline is the realtime factor itself (1.0 == realtime). If the
-reference iamfplayer binary is present it is also measured for context.
+Budget discipline (the driver caps the whole run):
+- A global deadline (BENCH_DEADLINE seconds, default 540) gates every
+  stage; stages degrade (fewer repeats) or are skipped rather than
+  overrunning, and the one JSON line ALWAYS prints — even on exception.
+- The persistent XLA compile cache (.jax_cache, primed in-repo) turns the
+  multi-minute axon remote compiles into sub-second loads.
+- The axon-tunneled device charges a one-time ~150-250 s stall on the
+  FIRST device->host transfer of a process (measured; the reverse relay
+  channel warm-up). It is paid once, up front, and reported as
+  d2h_warmup_seconds rather than polluting the decode timings.
+
+Interpreting the numbers vs the reference player (see TRACE.md):
+- device_only/aggregate realtime-x measure decode throughput with PCM
+  left on device — the serving regime, and the number comparable with the
+  reference's single-core rate (its output cost is a local disk write).
+- e2e realtime-x includes fetching the PCM through the tunnel's ~44 MB/s
+  device->host path, which alone caps e2e at ~30x for 12-channel 48 kHz
+  s16 output; on non-tunneled hardware (PCIe/DMA at GB/s) e2e converges
+  to the device-only number.
 
 Prints ONE JSON line.
 """
@@ -18,17 +36,42 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import numpy as np
 
-# NOTE: do not enable the persistent jax compilation cache here — with the
-# axon remote-compile transport it has been observed to hang the first
-# compile indefinitely. Warmup pays the compile cost instead.
+T0 = time.time()
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "540"))
 
 
-def build_stream(seconds: float = 30.0, content: str = "pcm"):
+def remaining() -> float:
+    return DEADLINE - (time.time() - T0)
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache: the axon remote compile charges
+    minutes per program variant; cached executables load in <1 s. The
+    cache dir is committed/primed in-repo so a cold process still hits."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "IAMF_JAX_CACHE", os.path.join(REPO, ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never a blocker
+        log(f"compile cache unavailable: {e}")
+
+
+def build_stream(seconds: float, content: str):
     from iamf_tpu.constants import ChannelLayout
     import vectors
 
@@ -40,137 +83,199 @@ def build_stream(seconds: float = 30.0, content: str = "pcm"):
         # + device CELT synthesis (codecs/opus/tpu_synth.py)
         return vectors.build_opus_layout_stream(
             ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size,
-            amp=0.4
-        )
+            amp=0.4)[0]
     if content == "aac":
-        # AAC-LC substreams through the from-scratch decoder: host
-        # entropy/tools (native/src/aac) + device filterbank
-        # (codecs/aac/tpu_synth.py)
-        s, _src, _pkts = vectors.build_aac_layout_stream(
-            ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size)
-        return s, _src
+        return vectors.build_aac_layout_stream(
+            ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size)[0]
     return vectors.build_pcm_layout_stream(
-        ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size, amp=0.5
-    )
+        ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size,
+        amp=0.5)[0]
+
+
+def time_decodes(stream: bytes, sound_system: int, repeats: int,
+                 fetch: bool, min_tail: float):
+    """Best-of-N full decodes (fresh decoder each time: host OBU routing +
+    codec unpack included, stream synthesis excluded). Degrades the repeat
+    count against the deadline; returns (best_seconds, pcm_or_outs)."""
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    times = []
+    out = None
+    for _ in range(repeats):
+        d = BatchedStreamDecoder(stream, sound_system=sound_system,
+                                 batch_frames=128)
+        t0 = time.perf_counter()
+        out = d.decode_all(fetch=fetch)
+        times.append(time.perf_counter() - t0)
+        if remaining() < min_tail:
+            break
+    return min(times), out
+
+
+def aggregate_decode(stream: bytes, sound_system: int, n_streams: int):
+    """N independent streams decoded concurrently on one chip, PCM left
+    on device — the production serving regime."""
+    import concurrent.futures as cf
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    decs = [BatchedStreamDecoder(stream, sound_system=sound_system,
+                                 batch_frames=128)
+            for _ in range(n_streams)]
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(n_streams) as ex:
+        outs = list(ex.map(lambda dd: dd.decode_all(fetch=False), decs))
+    for o in outs:
+        o[-1].block_until_ready()
+    return time.perf_counter() - t0
+
+
+def reference_rate(stream: bytes, sound_system: int, audio_seconds: float):
+    """Time the reference iamfplayer on the same stream (context: its
+    implied design point is faster-than-realtime single-core decode)."""
+    ref_bin = "/tmp/refplayer_std/iamfplayer"
+    if not os.path.exists(ref_bin):
+        return None
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "bench.iamf")
+    with open(path, "wb") as f:
+        f.write(stream)
+    # -o2 (wav output) is required: the reference player skips decoding
+    # entirely for any other output mode (iamfplayer.c:908-918)
+    t0 = time.perf_counter()
+    subprocess.run([ref_bin, "-o2", f"-s{sound_system}", "bench.iamf"],
+                   cwd=d, capture_output=True, timeout=300)
+    return audio_seconds / (time.perf_counter() - t0)
 
 
 def main() -> None:
-    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
-
     seconds = float(os.environ.get("BENCH_SECONDS", "30"))
-    content = os.environ.get("BENCH_CONTENT", "pcm")
-    # aggregate mode is opt-in: on this tunneled single-chip host the
-    # python-side packet routing serializes streams (GIL), so N-stream
-    # aggregate adds no information over device_only_realtime_x
-    n_streams = int(os.environ.get("BENCH_STREAMS", "0"))
-    if "--content" in sys.argv:
-        content = sys.argv[sys.argv.index("--content") + 1]
+    n_streams = int(os.environ.get("BENCH_STREAMS", "4"))
     if "--seconds" in sys.argv:
         seconds = float(sys.argv[sys.argv.index("--seconds") + 1])
     if "--streams" in sys.argv:
         n_streams = int(sys.argv[sys.argv.index("--streams") + 1])
-    stream, _src = build_stream(seconds, content)
-
     sound_system = 9  # J (4+7+0)
-    # warmup: compile the pipeline + first device readback
-    dec = BatchedStreamDecoder(stream, sound_system=sound_system, batch_frames=128)
-    n_frames = dec.n_frames
-    dec.decode_all()
-
-    # steady state: best of 3 full decodes (fresh decoder each time, i.e.
-    # including host OBU routing + codec unpack, excluding stream synthesis)
-    times = []
-    for _ in range(3):
-        d = BatchedStreamDecoder(
-            stream, sound_system=sound_system, batch_frames=128
-        )
-        t0 = time.perf_counter()
-        pcm = d.decode_all()
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-
-    # device-only rate: same decode, PCM left on device (separates decode
-    # throughput from the host<->device transfer, which on the tunneled
-    # axon TPU is ~22 MB/s and dominates end-to-end wall time)
-    dev_times = []
-    for _ in range(2):
-        d = BatchedStreamDecoder(
-            stream, sound_system=sound_system, batch_frames=128
-        )
-        t0 = time.perf_counter()
-        d.decode_all(fetch=False)
-        dev_times.append(time.perf_counter() - t0)
-    dev_elapsed = min(dev_times)
-
-    audio_seconds = pcm.shape[0] / 48000.0
-    rtx = audio_seconds / elapsed
-    fps = n_frames / elapsed
-
-    ref_rtx = None
-    ref_bin = "/tmp/refplayer_std/iamfplayer"
-    # the reference build in this environment has no AAC codec library, so
-    # it cannot decode aac content — skip the bogus comparison
-    if os.path.exists(ref_bin) and content != "aac":
-        import tempfile
-
-        d = tempfile.mkdtemp()
-        path = os.path.join(d, "bench.iamf")
-        with open(path, "wb") as f:
-            f.write(stream)
-        # -o2 (wav output) is required: the reference player skips decoding
-        # entirely for any other output mode (iamfplayer.c:908-918)
-        t0 = time.perf_counter()
-        subprocess.run(
-            [ref_bin, "-o2", f"-s{sound_system}", "bench.iamf"],
-            cwd=d, capture_output=True, timeout=600,
-        )
-        ref_elapsed = time.perf_counter() - t0
-        ref_rtx = audio_seconds / ref_elapsed
-
-    # aggregate serving throughput: N independent streams decoded on one
-    # chip (the production regime — the single-stream number is dominated
-    # by per-dispatch latency and, on the tunneled axon device, by d2h)
-    agg_rtx = None
-    if n_streams > 1:
-        decs = [
-            BatchedStreamDecoder(stream, sound_system=sound_system,
-                                 batch_frames=128)
-            for _ in range(n_streams)
-        ]
-        import concurrent.futures as cf
-
-        t0 = time.perf_counter()
-        with cf.ThreadPoolExecutor(n_streams) as ex:
-            outs = list(ex.map(
-                lambda dd: dd.decode_all(fetch=False), decs))
-        for o in outs:
-            o[-1].block_until_ready()
-        agg_elapsed = time.perf_counter() - t0
-        agg_rtx = n_streams * audio_seconds / agg_elapsed
 
     result = {
-        "metric": ("realtime_x_decode_714_to_ssJ" if content == "pcm"
-                   else f"realtime_x_decode_714_{content}_to_ssJ"),
-        "value": round(rtx, 2),
+        "metric": "realtime_x_decode_714_to_ssJ",
+        "value": None,
         "unit": "x_realtime",
-        "vs_baseline": round(rtx / 1.0, 2),
-        "frames_per_s": round(fps, 1),
-        "audio_seconds": round(audio_seconds, 2),
-        "wall_seconds": round(elapsed, 3),
-        "device_only_realtime_x": round(
-            (pcm.shape[0] / 48000.0) / dev_elapsed, 2),
+        "vs_baseline": None,
+        "audio_seconds": seconds,
     }
-    if agg_rtx is not None:
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    log("building streams (host)")
+    pcm_stream = build_stream(seconds, "pcm")
+    opus_stream = None
+    try:
+        opus_stream = build_stream(seconds, "opus")
+    except Exception as e:
+        log(f"opus stream build failed: {e}")
+
+    # one-time tunnel reverse-channel warm-up: the first d2h of a process
+    # stalls ~150-250 s on the axon relay (independent of payload size and
+    # unavoidable; it also holds the client lock, so it cannot overlap
+    # compiles). Pay it now so the decode timings below measure decode.
+    log("device init + d2h warm-up (one-time tunnel stall)")
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((256,), jnp.int16) + 1)
+    warm = time.perf_counter() - t0
+    result["d2h_warmup_seconds"] = round(warm, 1)
+    log(f"d2h warm-up took {warm:.1f}s; {remaining():.0f}s budget left")
+
+    # ---- PCM content (BASELINE headline config) ----
+    log("pcm: compile (cache-backed) + warm-up decode")
+    _, _ = time_decodes(pcm_stream, sound_system, 1, False, 30)
+    log("pcm: timed decodes")
+    reps = 3 if remaining() > 120 else 1
+    dev_s, outs = time_decodes(pcm_stream, sound_system, reps, False, 60)
+    n_samples = sum(o.shape[0] for o in outs)
+    audio_s = None
+    e2e_s, pcm = time_decodes(pcm_stream, sound_system,
+                              2 if remaining() > 90 else 1, True, 45)
+    audio_s = pcm.shape[0] / 48000.0
+    result["audio_seconds"] = round(audio_s, 2)
+    result["value"] = round(audio_s / e2e_s, 2)
+    result["vs_baseline"] = result["value"]  # baseline: 1.0 == realtime
+    result["wall_seconds"] = round(e2e_s, 3)
+    result["frames_per_s"] = round((audio_s * 48000 / 960) / e2e_s, 1)
+    result["device_only_realtime_x"] = round(audio_s / dev_s, 2)
+    log(f"pcm: e2e {result['value']}x, device-only "
+        f"{result['device_only_realtime_x']}x")
+
+    if n_streams > 1 and remaining() > 60:
+        log(f"pcm: aggregate {n_streams}-stream decode")
+        agg_s = aggregate_decode(pcm_stream, sound_system, n_streams)
         result["aggregate_streams"] = n_streams
-        result["aggregate_device_realtime_x"] = round(agg_rtx, 2)
-    if ref_rtx is not None:
-        result["reference_player_realtime_x"] = round(ref_rtx, 2)
-        result["speedup_vs_reference"] = round(rtx / ref_rtx, 2)
-        if agg_rtx is not None:
-            result["aggregate_speedup_vs_reference"] = round(
-                agg_rtx / ref_rtx, 2)
+        result["aggregate_device_realtime_x"] = round(
+            n_streams * audio_s / agg_s, 2)
+        log(f"pcm: aggregate {result['aggregate_device_realtime_x']}x")
+
+    # ---- Opus content (config-1 class codec path) ----
+    if opus_stream is not None and remaining() > 90:
+        try:
+            log("opus: compile (cache-backed) + warm-up decode")
+            _, _ = time_decodes(opus_stream, sound_system, 1, False, 30)
+            log("opus: timed decodes")
+            dev_s, outs = time_decodes(
+                opus_stream, sound_system,
+                2 if remaining() > 90 else 1, False, 45)
+            result["opus_device_only_realtime_x"] = round(audio_s / dev_s, 2)
+            if remaining() > 45:
+                e2e_s, _ = time_decodes(opus_stream, sound_system, 1, True, 30)
+                result["opus_realtime_x"] = round(audio_s / e2e_s, 2)
+            if n_streams > 1 and remaining() > 60:
+                agg_s = aggregate_decode(opus_stream, sound_system, n_streams)
+                result["opus_aggregate_device_realtime_x"] = round(
+                    n_streams * audio_s / agg_s, 2)
+            log(f"opus: e2e {result.get('opus_realtime_x')}x, device-only "
+                f"{result.get('opus_device_only_realtime_x')}x, aggregate "
+                f"{result.get('opus_aggregate_device_realtime_x')}x")
+        except Exception as e:
+            log(f"opus stage failed: {e}")
+            result["opus_error"] = str(e)[:200]
+
+    # ---- Reference player on the same streams ----
+    if remaining() > 30:
+        ref = reference_rate(pcm_stream, sound_system, audio_s)
+        if ref:
+            result["reference_player_realtime_x"] = round(ref, 2)
+            result["speedup_vs_reference"] = round(result["value"] / ref, 2)
+            if "device_only_realtime_x" in result:
+                result["device_speedup_vs_reference"] = round(
+                    result["device_only_realtime_x"] / ref, 2)
+            if "aggregate_device_realtime_x" in result:
+                result["aggregate_speedup_vs_reference"] = round(
+                    result["aggregate_device_realtime_x"] / ref, 2)
+    if remaining() > 30 and opus_stream is not None:
+        ref_o = reference_rate(opus_stream, sound_system, audio_s)
+        if ref_o:
+            result["reference_player_opus_realtime_x"] = round(ref_o, 2)
+            if "opus_aggregate_device_realtime_x" in result:
+                result["opus_aggregate_speedup_vs_reference"] = round(
+                    result["opus_aggregate_device_realtime_x"] / ref_o, 2)
+
+    result["bench_wall_seconds"] = round(time.time() - T0, 1)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the JSON line must ALWAYS print
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "realtime_x_decode_714_to_ssJ",
+            "value": None,
+            "unit": "x_realtime",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+            "bench_wall_seconds": round(time.time() - T0, 1),
+        }))

@@ -117,17 +117,26 @@ def _kernel(freq_ref, trans_ref, tail0_ref,
         tail_scr[:] = tail0_ref[:]
 
     freq = freq_ref[0]          # [L, 960]
+    trans = trans_ref[0, 0]     # [L]
     tail = tail_scr[:]          # [L, 60]
-    y_l = (jnp.dot(freq, atl_ref[:], preferred_element_type=jnp.float32)
-           + jnp.dot(tail, ctl_ref[:], preferred_element_type=jnp.float32))
-    y_s = (jnp.dot(freq, ats_ref[:], preferred_element_type=jnp.float32)
-           + jnp.dot(tail, cts_ref[:], preferred_element_type=jnp.float32))
-    m = (trans_ref[0] != 0)[:, None]
+    y_l = (jnp.dot(freq, atl_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+           + jnp.dot(tail, ctl_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST))
+    y_s = (jnp.dot(freq, ats_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+           + jnp.dot(tail, cts_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST))
+    # insert the minor dim on the i32 vector BEFORE the bool compare:
+    # Mosaic only supports non-no-op minor-dim insertion for 32-bit types
+    m = trans[:, None] != 0
     y_ref[0] = jnp.where(m, y_s, y_l)
     nt = jnp.where(
         m,
-        jnp.dot(freq, dts_ref[:], preferred_element_type=jnp.float32),
-        jnp.dot(freq, dtl_ref[:], preferred_element_type=jnp.float32),
+        jnp.dot(freq, dts_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST),
+        jnp.dot(freq, dtl_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST),
     )
     tail_scr[:] = nt
     tail_out_ref[:] = nt
@@ -151,7 +160,12 @@ def fused_imdct_overlap(freq, transient, tail0, *, interpret=False):
         in_specs=[
             pl.BlockSpec((1, L, FRAME), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda b: (b, 0),
+            # [B, 1, L] so the block's last-two dims (1, L) equal the
+            # array's — Mosaic requires (8, 128)-divisible or full-dim
+            # blocks in the minor two positions (real-TPU lowering rule;
+            # the (1, L) 2-D block compiled under interpret but not on
+            # hardware)
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, OVER), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -168,7 +182,7 @@ def fused_imdct_overlap(freq, transient, tail0, *, interpret=False):
         ],
         scratch_shapes=[pltpu.VMEM((L, OVER), jnp.float32)],
         interpret=interpret,
-    )(freq, transient.astype(jnp.int32), tail0, *mats)
+    )(freq, transient.astype(jnp.int32)[:, None, :], tail0, *mats)
     return y, tail
 
 
