@@ -90,6 +90,13 @@ class SpectrumMeta(ctypes.Structure):
     ]
 
 
+# column index of each meta field in the [B, 11] int32/float32 view —
+# derived from the struct so a field addition/reorder breaks loudly
+# instead of silently mis-mapping gains/periods
+_META_COL = {name: i for i, (name, _t) in enumerate(SpectrumMeta._fields_)}
+assert ctypes.sizeof(SpectrumMeta) == 4 * len(SpectrumMeta._fields_)
+
+
 @register(Codec.OPUS)
 class OpusDecoder(CodecDecoder):
     def __init__(self, decoder_conf, streams, coupled_streams, frame_size):
@@ -104,9 +111,12 @@ class OpusDecoder(CodecDecoder):
             self._decoders.append((lib.iamf_opus_decoder_create(ch), ch))
         self.delay = 0  # reference reports no codec delay for opus
         self._max = frame_size * 6
+        self._pool = None  # lazy per-instance substream thread pool
 
     def __del__(self):
         try:
+            if getattr(self, "_pool", None) is not None:
+                self._pool.shutdown(wait=False)
             lib = _load_native()
             for ptr, _ in getattr(self, "_decoders", []):
                 lib.iamf_opus_decoder_destroy(ptr)
@@ -175,29 +185,43 @@ class OpusDecoder(CodecDecoder):
                 B, ch,
                 fout.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), metas)
             if r < 0:
-                raise ValueError(f"opus spectrum decode failed ({r})")
+                # on error the native batch writes the failing frame index
+                # into metas[0].samples and returns the bare error code
+                raise ValueError(
+                    f"opus spectrum decode failed ({r}) at batch frame "
+                    f"{metas[0].samples} of substream {i}")
             sl = slice(lanes[i], lanes[i + 1])
             freq[:, sl] = fout
-            m = np.frombuffer(memoryview(metas), dtype=np.int32).reshape(B, 11)
+            m = np.frombuffer(memoryview(metas), dtype=np.int32).reshape(
+                B, len(SpectrumMeta._fields_))
             mf = m.view(np.float32)
-            transient[:, sl] = (m[:, 1] != 0)[:, None]
-            pc = np.maximum(m[:, 5], MINPERIOD)
-            po = np.maximum(m[:, 2], MINPERIOD)
+            c = _META_COL
+            transient[:, sl] = (m[:, c["transient"]] != 0)[:, None]
+            pc = np.maximum(m[:, c["pf_period"]], MINPERIOD)
+            po = np.maximum(m[:, c["pf_period_old"]], MINPERIOD)
             # LM=3 frames roll all postfilter params forward each frame, so
             # the frame-start "old" and "current" sets always agree
             # (celt_decoder.c rollover); the device comb relies on it.
             assert np.array_equal(po, pc) and np.array_equal(
-                mf[:, 3], mf[:, 6]), "postfilter old/cur mismatch (non-LM3?)"
+                mf[:, c["pf_gain_old"]], mf[:, c["pf_gain"]]), \
+                "postfilter old/cur mismatch (non-LM3?)"
             t_cur[:, sl] = pc[:, None]
-            t_new[:, sl] = np.maximum(m[:, 8], MINPERIOD)[:, None]
-            g_cur[:, sl] = (mf[:, 6, None] * gains_tab[m[:, 7]])[:, None, :]
-            g_new[:, sl] = (mf[:, 9, None] * gains_tab[m[:, 10]])[:, None, :]
+            t_new[:, sl] = np.maximum(
+                m[:, c["pf_period_new"]], MINPERIOD)[:, None]
+            g_cur[:, sl] = (mf[:, c["pf_gain"], None]
+                            * gains_tab[m[:, c["pf_tapset"]]])[:, None, :]
+            g_new[:, sl] = (mf[:, c["pf_gain_new"], None]
+                            * gains_tab[m[:, c["pf_tapset_new"]]])[:, None, :]
 
         if len(self._decoders) > 1 and B > 1:
-            import concurrent.futures as _cf
+            # one long-lived executor per decoder instance: creating and
+            # tearing a pool down per batch adds thread spawn/join overhead
+            # on the hot path
+            if self._pool is None:
+                import concurrent.futures as _cf
 
-            with _cf.ThreadPoolExecutor(len(self._decoders)) as ex:
-                list(ex.map(run_substream, range(len(self._decoders))))
+                self._pool = _cf.ThreadPoolExecutor(len(self._decoders))
+            list(self._pool.map(run_substream, range(len(self._decoders))))
         else:
             for i in range(len(self._decoders)):
                 run_substream(i)

@@ -86,6 +86,89 @@ def iter_obus(data: bytes | memoryview) -> Iterator[o.OBU]:
         offset += obu.size
 
 
+def split_records(data: bytes | memoryview):
+    """Split ALL complete OBUs in one native pass (native/src/obu_split.cc).
+
+    Returns an int64 numpy array [n, 8]: (type, flags, obu_off, payload_off,
+    payload_len, trim_start, trim_end, substream_id-or--1) per OBU — the
+    same walk as iter_obus (reference wire format IAMF_OBU.c:79-138) at
+    ~1000x the throughput; the batched decoder re-parses only descriptor /
+    parameter OBUs into objects. Falls back to the Python iterator when
+    the native library is unavailable.
+    """
+    import numpy as np
+
+    buf = data if isinstance(data, (bytes, bytearray)) else bytes(data)
+    lib = _native_split_lib()
+    if lib is None:
+        # fallback: rebuild records from the Python splitter
+        recs = []
+        offset = 0
+        while True:
+            obu = split_obu(buf, offset)
+            if obu is None:
+                break
+            sid = -1
+            if obu.is_audio_frame:
+                f = parse_audio_frame(obu)
+                sid = f.substream_id
+                # payload offset of the frame data within `buf`
+                base = offset + obu.size - len(obu.payload)
+                poff = base + (len(obu.payload) - len(f.data))
+                plen = len(f.data)
+            else:
+                poff = offset + obu.size - len(obu.payload)
+                plen = len(obu.payload)
+            recs.append((obu.type,
+                         int(obu.redundant) | (int(obu.trimming) << 1)
+                         | (int(obu.extension) << 2),
+                         offset, poff, plen, obu.trim_start, obu.trim_end,
+                         sid))
+            offset += obu.size
+        return np.asarray(recs, np.int64).reshape(-1, 8)
+
+    import ctypes
+
+    n = len(buf)
+    max_out = max(n // OBU_MIN_SIZE + 1, 16)
+    out = np.empty((max_out, 8), np.int64)
+    got = lib.iamf_obu_split_all(
+        buf, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_out)
+    return out[:got].copy()
+
+
+_SPLIT_LIB = [False, None]
+
+
+def _native_split_lib():
+    if _SPLIT_LIB[0]:
+        return _SPLIT_LIB[1]
+    _SPLIT_LIB[0] = True
+    try:
+        import ctypes
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "native", "lib", "libiamf_native.so")
+        if not os.path.exists(path):
+            import subprocess
+
+            subprocess.run(["make", "-C", os.path.dirname(
+                os.path.dirname(path))], check=True, capture_output=True)
+        lib = ctypes.CDLL(path)
+        lib.iamf_obu_split_all.restype = ctypes.c_int64
+        lib.iamf_obu_split_all.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        _SPLIT_LIB[1] = lib
+    except Exception:
+        _SPLIT_LIB[1] = None
+    return _SPLIT_LIB[1]
+
+
 def find_sequence_header(data: bytes | memoryview) -> int:
     """Byte offset of the first sequence-header OBU (magic scan analogous to
     iamf_decoder_internal_init's search, IAMF_decoder.c:2752-2782), or -1."""

@@ -124,8 +124,15 @@ class ShardedStreamDecoder:
         n = base.n_frames
         self.frames_per_shard = -(-n // self.n_shards)
         self.n_frames = n
-        assert base.cfg.head_trim <= self.frames_per_shard * base.frame_size, (
-            "head trim exceeds one shard's samples")
+        if base.cfg.head_trim > self.frames_per_shard * base.frame_size:
+            # the head-trim halo shift only reaches one shard to the left;
+            # a longer trim needs the batched decoder's post-limiter trim
+            # fallback (head_trim=0), which this sharded path does not
+            # replicate — fail loudly instead of corrupting the halo
+            raise ValueError(
+                f"trimming_start ({base.cfg.head_trim} samples) exceeds one "
+                f"shard ({self.frames_per_shard * base.frame_size} samples); "
+                f"use fewer shards or the single-device BatchedStreamDecoder")
 
     def _shard_rows(self, a: np.ndarray, fill, preroll: int) -> np.ndarray:
         """[N, ...] per-frame rows -> [S, preroll+F, ...] with the preroll

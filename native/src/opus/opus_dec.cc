@@ -366,7 +366,13 @@ int iamf_opus_decode_spectrum_batch(void* ptr, const unsigned char* data,
     int r = iamf_opus_decode_spectrum(ptr, p, sizes[k],
                                       freq_out + (size_t)k * channels * 960,
                                       metas + k);
-    if (r < 0) return -(k * 100000) + r;  // encode failing frame index
+    if (r < 0) {
+      // report the failing frame unambiguously: error code in the return,
+      // frame index in metas[0].samples (a dedicated out-slot; the old
+      // -(k*100000)+r encoding collided with plain error codes)
+      metas[0].samples = k;
+      return r;
+    }
     p += sizes[k];
   }
   return n;

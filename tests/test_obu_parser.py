@@ -273,3 +273,39 @@ def test_iter_obus_and_find_header():
     # partial tail stops iteration
     obus = list(parser.iter_obus(stream[off:-1]))
     assert len(obus) == 2
+
+
+def test_split_records_native_matches_python():
+    """The native one-pass splitter (obu_split.cc) must emit exactly the
+    records the Python splitter derives, on real streams and on fuzz."""
+    import numpy as np
+    import vectors
+    from iamf_tpu.constants import ChannelLayout
+
+    streams = [
+        vectors.build_pcm_layout_stream(
+            ChannelLayout.L512, n_frames=7, frame_size=64, amp=0.4)[0],
+        vectors.build_opus_layout_stream(
+            ChannelLayout.STEREO, n_frames=5, frame_size=960, amp=0.3)[0],
+    ]
+    # random truncations + bit flips: both splitters must agree on where
+    # to stop and what to emit
+    rng = np.random.RandomState(7)
+    for base in list(streams):
+        for _ in range(8):
+            b = bytearray(base)
+            b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            streams.append(bytes(b[: rng.randint(2, len(b))]))
+
+    assert parser._native_split_lib() is not None, "native splitter missing"
+    for s in streams:
+        native = parser.split_records(s)
+        saved = parser._SPLIT_LIB[1]
+        parser._SPLIT_LIB[1] = None
+        try:
+            py = parser.split_records(s)
+        finally:
+            parser._SPLIT_LIB[1] = saved
+        assert native.shape == py.shape
+        assert np.array_equal(native, py), (
+            native[(native != py).any(1)], py[(native != py).any(1)])
