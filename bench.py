@@ -71,6 +71,32 @@ def enable_compile_cache() -> None:
         log(f"compile cache unavailable: {e}")
 
 
+def ramp_h2d(target_mbps: float = 500.0, max_seconds: float = 25.0,
+             mb_each: int = 16) -> float:
+    """Warm the host->device path: the tunnel's throughput ramps like TCP
+    slow-start (measured 43 -> 387 -> 1409+ MB/s over consecutive 16 MB
+    puts) and also varies minute-to-minute with neighbours. Timing decodes
+    on a cold tunnel measures the ramp, not the decoder — keep putting
+    until the rate clears `target_mbps` twice in a row or the time budget
+    runs out. Returns the best observed MB/s (recorded in the JSON so a
+    degraded-tunnel run is identifiable)."""
+    import jax.numpy as jnp
+
+    best = 0.0
+    above = 0
+    a = np.zeros((mb_each * 1024 * 1024 // 2,), np.int16)
+    t_stop = time.perf_counter() + max_seconds
+    while time.perf_counter() < t_stop:
+        t0 = time.perf_counter()
+        jnp.asarray(a).block_until_ready()
+        rate = mb_each / (time.perf_counter() - t0)
+        best = max(best, rate)
+        above = above + 1 if rate >= target_mbps else 0
+        if above >= 2:
+            break
+    return best
+
+
 def build_stream(seconds: float, content: str):
     from iamf_tpu.constants import ChannelLayout
     import vectors
@@ -177,36 +203,27 @@ def main() -> None:
     except Exception as e:
         log(f"opus stream build failed: {e}")
 
-    # one-time tunnel reverse-channel warm-up: the first d2h of a process
-    # stalls ~150-250 s on the axon relay (independent of payload size and
-    # unavoidable; it also holds the client lock, so it cannot overlap
-    # compiles). Pay it now so the decode timings below measure decode.
-    log("device init + d2h warm-up (one-time tunnel stall)")
-    t0 = time.perf_counter()
-    np.asarray(jnp.zeros((256,), jnp.int16) + 1)
-    warm = time.perf_counter() - t0
-    result["d2h_warmup_seconds"] = round(warm, 1)
-    log(f"d2h warm-up took {warm:.1f}s; {remaining():.0f}s budget left")
+    # Stage order matters on the tunneled device: every device-resident
+    # stage runs BEFORE the first device->host fetch — the first d2h of a
+    # process stalls 40-380 s on the axon relay (reverse-channel warm-up,
+    # holds the client lock), and the decode/serving numbers must not
+    # inherit that or a cold h2d path.
+    audio_s = seconds
 
-    # ---- PCM content (BASELINE headline config) ----
+    rate = ramp_h2d()
+    result["h2d_ramp_mbps"] = round(rate, 0)
+    log(f"h2d ramped to {rate:.0f} MB/s")
+
+    # ---- device-resident decode throughput (the serving regime) ----
     log("pcm: compile (cache-backed) + warm-up decode")
-    _, _ = time_decodes(pcm_stream, sound_system, 1, False, 30)
-    log("pcm: timed decodes")
-    reps = 3 if remaining() > 120 else 1
+    time_decodes(pcm_stream, sound_system, 1, False, 30)
+    log("pcm: timed decodes (device-resident)")
+    reps = 4 if remaining() > 150 else 2
     dev_s, outs = time_decodes(pcm_stream, sound_system, reps, False, 60)
-    n_samples = sum(o.shape[0] for o in outs)
-    audio_s = None
-    e2e_s, pcm = time_decodes(pcm_stream, sound_system,
-                              2 if remaining() > 90 else 1, True, 45)
-    audio_s = pcm.shape[0] / 48000.0
+    audio_s = sum(o.shape[0] for o in outs) / 48000.0
     result["audio_seconds"] = round(audio_s, 2)
-    result["value"] = round(audio_s / e2e_s, 2)
-    result["vs_baseline"] = result["value"]  # baseline: 1.0 == realtime
-    result["wall_seconds"] = round(e2e_s, 3)
-    result["frames_per_s"] = round((audio_s * 48000 / 960) / e2e_s, 1)
     result["device_only_realtime_x"] = round(audio_s / dev_s, 2)
-    log(f"pcm: e2e {result['value']}x, device-only "
-        f"{result['device_only_realtime_x']}x")
+    log(f"pcm: device-only {result['device_only_realtime_x']}x")
 
     if n_streams > 1 and remaining() > 60:
         log(f"pcm: aggregate {n_streams}-stream decode")
@@ -216,29 +233,53 @@ def main() -> None:
             n_streams * audio_s / agg_s, 2)
         log(f"pcm: aggregate {result['aggregate_device_realtime_x']}x")
 
-    # ---- Opus content (config-1 class codec path) ----
-    if opus_stream is not None and remaining() > 90:
+    if opus_stream is not None and remaining() > 120:
         try:
             log("opus: compile (cache-backed) + warm-up decode")
-            _, _ = time_decodes(opus_stream, sound_system, 1, False, 30)
-            log("opus: timed decodes")
-            dev_s, outs = time_decodes(
+            time_decodes(opus_stream, sound_system, 1, False, 30)
+            log("opus: timed decodes (device-resident)")
+            dev_s, _ = time_decodes(
                 opus_stream, sound_system,
-                2 if remaining() > 90 else 1, False, 45)
+                3 if remaining() > 120 else 1, False, 60)
             result["opus_device_only_realtime_x"] = round(audio_s / dev_s, 2)
-            if remaining() > 45:
-                e2e_s, _ = time_decodes(opus_stream, sound_system, 1, True, 30)
-                result["opus_realtime_x"] = round(audio_s / e2e_s, 2)
-            if n_streams > 1 and remaining() > 60:
+            if n_streams > 1 and remaining() > 90:
                 agg_s = aggregate_decode(opus_stream, sound_system, n_streams)
                 result["opus_aggregate_device_realtime_x"] = round(
                     n_streams * audio_s / agg_s, 2)
-            log(f"opus: e2e {result.get('opus_realtime_x')}x, device-only "
+            log(f"opus: device-only "
                 f"{result.get('opus_device_only_realtime_x')}x, aggregate "
                 f"{result.get('opus_aggregate_device_realtime_x')}x")
         except Exception as e:
             log(f"opus stage failed: {e}")
             result["opus_error"] = str(e)[:200]
+
+    # ---- e2e (PCM fetched to host): pay the one-time d2h stall first ----
+    log("d2h warm-up (one-time tunnel stall)")
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((256,), jnp.int16) + 1)
+    warm = time.perf_counter() - t0
+    result["d2h_warmup_seconds"] = round(warm, 1)
+    log(f"d2h warm-up took {warm:.1f}s; {remaining():.0f}s budget left")
+
+    e2e_s, pcm = time_decodes(pcm_stream, sound_system,
+                              2 if remaining() > 60 else 1, True, 40)
+    result["value"] = round(audio_s / e2e_s, 2)
+    result["vs_baseline"] = result["value"]  # baseline: 1.0 == realtime
+    result["wall_seconds"] = round(e2e_s, 3)
+    result["frames_per_s"] = round((audio_s * 48000 / 960) / e2e_s, 1)
+    log(f"pcm: e2e {result['value']}x")
+    if opus_stream is not None and remaining() > 45:
+        try:
+            e2e_s, _ = time_decodes(opus_stream, sound_system, 1, True, 30)
+            result["opus_realtime_x"] = round(audio_s / e2e_s, 2)
+            log(f"opus: e2e {result['opus_realtime_x']}x")
+        except Exception as e:
+            result.setdefault("opus_error", str(e)[:200])
+
+    if result["value"] is None:  # e2e skipped/failed: report device rate
+        result["value"] = result.get("device_only_realtime_x")
+        result["vs_baseline"] = result["value"]
+        result["value_is_device_only"] = True
 
     # ---- Reference player on the same streams ----
     if remaining() > 30:
