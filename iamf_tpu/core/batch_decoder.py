@@ -105,6 +105,10 @@ class BatchedStreamDecoder:
         self.bits = bits
         self.batch_frames = batch_frames
         self.db = Database()
+        # decode-path visibility: which synthesis path each element took and
+        # why a device path was rejected (a user benchmarking SILK content
+        # must be able to see it measured the host path)
+        self.stats: dict = {"elements": []}
         self.layout = OutputLayout(
             type=LayoutType.SS_CONVENTION, sound_system=sound_system
         )
@@ -346,9 +350,17 @@ class BatchedStreamDecoder:
         raw_input = hasattr(codec, "decode_batch_raw")
         if raw_input:
             input_scale = 1.0 / float(getattr(codec, "scale", 1.0))
-        opus = (hasattr(codec, "decode_spectrum_batch")
-                and self.frame_size == 960
-                and self._opus_celt_960(el))
+        opus = False
+        fallback_reason = None
+        if hasattr(codec, "decode_spectrum_batch") and self.frame_size == 960:
+            fallback_reason = self._opus_celt_960(el)
+            opus = fallback_reason is None
+            if not opus:
+                from ..utils.logging import logw
+
+                logw("batch", f"element {el.element_id}: opus device "
+                     f"synthesis rejected ({fallback_reason}); decoding on "
+                     f"host")
         if opus and self.opus_synth is None:
             from ..codecs.opus import tpu_synth
 
@@ -360,6 +372,14 @@ class BatchedStreamDecoder:
             from ..codecs.aac import tpu_synth as aac_tpu_synth
 
             self.aac_synth = aac_tpu_synth
+        self.stats["elements"].append({
+            "element_id": el.element_id,
+            "path": ("opus_device" if opus else
+                     "aac_device" if aac else
+                     "raw_device" if raw_input else "host"),
+            **({"fallback_reason": fallback_reason} if fallback_reason
+               else {}),
+        })
         return _ElemCtx(
             stream=stream, codec=codec,
             substream_ids=list(el.substream_ids),
@@ -368,18 +388,27 @@ class BatchedStreamDecoder:
             opus=opus, aac=aac, gain=gain,
         )
 
-    def _opus_celt_960(self, el) -> bool:
+    def _opus_celt_960(self, el):
         """The device CELT synthesis covers CELT-only 20 ms packets (the
         IAMF operating point). SILK/hybrid TOCs fall back to the host
-        decoder (still from scratch, bit-exact for SILK)."""
+        decoder (still from scratch, bit-exact for SILK). Returns None when
+        the device path applies, else a human-readable rejection reason
+        (also surfaced via self.stats and a logged warning)."""
         for sid in el.substream_ids:
             pkts = self.frames_per_substream.get(sid) or []
             if not pkts:
                 continue
             toc = bytes(pkts[0])[0] if len(pkts[0]) else 0
-            if toc >> 3 < 16 or (toc & 3) != 0 or ((toc >> 3) & 3) != 3:
-                return False
-        return True
+            if toc >> 3 < 16:
+                return (f"substream {sid}: SILK/hybrid TOC config "
+                        f"{toc >> 3} (device path covers CELT-only)")
+            if (toc & 3) != 0:
+                return (f"substream {sid}: {toc & 3}-frame packet "
+                        f"(device path covers code-0 single-frame)")
+            if ((toc >> 3) & 3) != 3:
+                return (f"substream {sid}: frame duration code "
+                        f"{(toc >> 3) & 3} != 20 ms")
+        return None
 
     @property
     def n_frames(self) -> int:

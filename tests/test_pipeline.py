@@ -264,3 +264,17 @@ def test_batched_aac_transients_device_short_windows():
     n = min(len(serial), len(out))
     diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
     assert diff.max() <= 2, f"max {diff.max()}"
+
+
+def test_batched_opus_silk_fallback_visible():
+    """SILK content drops off the device CELT path — the fallback must be
+    visible (stats field + logged warning), never silent (VERDICT r2 weak
+    #5)."""
+    from iamf_tpu.constants import ChannelLayout
+
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.STEREO, n_frames=4, mode="silk")
+    dec = BatchedStreamDecoder(stream, sound_system=0, batch_frames=2)
+    st = dec.stats["elements"][0]
+    assert st["path"] == "host"
+    assert "SILK" in st["fallback_reason"]
