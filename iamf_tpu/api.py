@@ -230,59 +230,24 @@ class IAMFDecoder:
         elif obu.type == OBUType.MIX_PRESENTATION:
             self.db.add_mix_presentation(parser.parse_mix_presentation(obu))
 
-    # presentation selection (IAMF_decoder.c:2997-3109)
+    # presentation selection (IAMF_decoder.c:2997-3109) — scoring shared
+    # with the batched decoder (core/presentation.py)
 
     def _layout_match_score(self, target: o.Layout) -> int:
-        s = 0
-        if target.type == self.layout.type:
-            if self.layout.type == LayoutType.BINAURAL:
-                s = 100
-            elif target.sound_system == self.layout.sound_system:
-                s = 100
-        if not s:
-            s = 50
-            if target.type == LayoutType.SS_CONVENTION:
-                chs = OutputLayout(
-                    type=LayoutType.SS_CONVENTION, sound_system=target.sound_system
-                ).channels
-            else:
-                chs = 2
-            if self.layout.channels < chs:
-                s += chs - self.layout.channels
-            else:
-                s -= self.layout.channels - chs
-        return s
+        from .core.presentation import layout_match_score
+
+        return layout_match_score(self.layout, target)
 
     def _best_mix_presentation(self) -> Optional[o.MixPresentation]:
-        mps = self.db.mix_presentations
-        if not mps:
-            return None
-        if len(mps) == 1:
-            return mps[0]
-        if self.mix_presentation_id is not None:
-            mp = self.db.get_mix_presentation(self.mix_presentation_id)
-            if mp is not None:
-                return mp
-        best, best_score = None, 0
-        for mp in mps:
-            score = max(
-                (self._layout_match_score(l) for l in mp.sub_mixes[0].layouts),
-                default=0,
-            )
-            if score > best_score:
-                best, best_score = mp, score
-        return best
+        from .core.presentation import best_mix_presentation
+
+        return best_mix_presentation(
+            self.db, self.layout, self.mix_presentation_id)
 
     def _best_loudness(self, mp: o.MixPresentation) -> float:
-        sub = mp.sub_mixes[0]
-        best_idx, best_score = -1, 0
-        for i, l in enumerate(sub.layouts):
-            score = self._layout_match_score(l)
-            if score > best_score:
-                best_idx, best_score = i, score
-        if best_idx < 0:
-            return 0.0
-        return q78_to_db(sub.loudness[best_idx].integrated_loudness)
+        from .core.presentation import best_loudness
+
+        return best_loudness(mp, self.layout)
 
     def _enable_presentation(self) -> None:
         mp = self._best_mix_presentation()

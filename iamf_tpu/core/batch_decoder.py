@@ -57,6 +57,8 @@ class _ElemCtx:
     opus: bool
     aac: bool
     gain: float  # element default mix gain (linear)
+    hrtf_bank: object = None  # np.ndarray [2, n_bed, taps] | None — HRIRs
+    #   for the M2B/H2B binaural conv (render_mat then yields the bed)
 
 
 # The batched path pins the comb-filter chunk to 13 — safe for every legal
@@ -100,7 +102,9 @@ class BatchedStreamDecoder:
     def __init__(self, data: bytes, sound_system: int = 0, bits: int = 16,
                  batch_frames: int = 128, limiter: bool = True,
                  normalization_db: float | None = None,
-                 peak_threshold_db: float | None = None):
+                 peak_threshold_db: float | None = None,
+                 binaural: bool = False,
+                 mix_presentation_id: int | None = None):
         self.data = data
         self.bits = bits
         self.batch_frames = batch_frames
@@ -109,9 +113,13 @@ class BatchedStreamDecoder:
         # why a device path was rejected (a user benchmarking SILK content
         # must be able to see it measured the host path)
         self.stats: dict = {"elements": []}
-        self.layout = OutputLayout(
-            type=LayoutType.SS_CONVENTION, sound_system=sound_system
-        )
+        self.binaural = binaural
+        if binaural:
+            self.layout = OutputLayout(type=LayoutType.BINAURAL)
+        else:
+            self.layout = OutputLayout(
+                type=LayoutType.SS_CONVENTION, sound_system=sound_system
+            )
 
         off = parser.find_sequence_header(data)
         if off < 0:
@@ -147,9 +155,26 @@ class BatchedStreamDecoder:
             else:
                 param_obus.append((int(i), obu))
 
-        mp = self.db.mix_presentations[0]
+        from .presentation import best_loudness, best_mix_presentation
+
+        mp = best_mix_presentation(self.db, self.layout, mix_presentation_id)
+        if mp is None:
+            raise ValueError("no mix presentation available")
+        self.mix_presentation = mp
         sub = mp.sub_mixes[0]
         out_ch = self.layout.channels
+        # rate mismatch => host resample of the device float mix before
+        # normalization/limiter (iamf_stream_resampler_open
+        # IAMF_decoder.c:3193-3199; iamf_resample :3223-3248). The device
+        # program then emits float and skips the limiter; the host tail
+        # (resample -> normalize -> limit -> quantize) mirrors the serial
+        # api decoder exactly.
+        self.stream_rate = int(codec_config_sampling_rate(
+            self.db.elements[sub.elements[0].element_id].codec_config))
+        self.needs_resample = self.stream_rate != 48000
+        device_limiter = limiter and not self.needs_resample
+        self._want_limiter = limiter
+        self._peak_threshold_db = peak_threshold_db
         self.frame_size = None
         self.elems: list[_ElemCtx] = []
         self.opus_synth = None
@@ -164,14 +189,16 @@ class BatchedStreamDecoder:
         if normalization_db is not None:
             # loudness normalization: db2lin(norm - selected loudness)
             # applied to the mix (IAMF_decoder.c:3480-3484; selection
-            # :3030-3059 picks the loudness of the matching layout)
-            loud = 0.0
-            for i, l in enumerate(sub.layouts):
-                if (l.type == LayoutType.SS_CONVENTION
-                        and l.sound_system == sound_system):
-                    loud = q78_to_db(sub.loudness[i].integrated_loudness)
-                    break
+            # :3030-3059 picks the loudness of the best-scoring layout —
+            # shared with the serial path, core/presentation.py)
+            loud = best_loudness(mp, self.layout)
             norm_gain = db_to_linear(normalization_db - loud)
+        self._norm_gain = 1.0
+        if self.needs_resample:
+            # the reference normalizes AFTER resampling (:3474 -> :3480);
+            # keep the gain out of the device out-gain and apply it on the
+            # host tail so the float order matches the serial path
+            self._norm_gain, norm_gain = norm_gain, 1.0
 
         # temporal-unit events: a unit closes when every selected substream
         # has delivered one more packet (iamf_decoder_internal_parse_OBUs
@@ -225,7 +252,7 @@ class BatchedStreamDecoder:
         self.lead = sum(t[0] for t in self.trims[:nf])
         self.tail = sum(t[1] for t in self.trims[:nf])
         T = self.frame_size
-        head_trim = (self.lead if limiter
+        head_trim = (self.lead if device_limiter
                      and 0 < self.lead <= batch_frames * T else 0)
         if head_trim:
             og = self.params.out_gain
@@ -265,6 +292,8 @@ class BatchedStreamDecoder:
                           else 0),
                     rg_index=ep.rg_index,
                     per_sample_gain=ep.gain_per_sample,
+                    hrtf_taps=(e.hrtf_bank.shape[2]
+                               if e.hrtf_bank is not None else 0),
                 )
                 for e, ep in zip(self.elems, self.params.elements)
             ),
@@ -272,10 +301,11 @@ class BatchedStreamDecoder:
                 channels=out_ch,
                 **({"threshold_db": peak_threshold_db}
                    if peak_threshold_db is not None else {}),
-            ) if limiter else None,
+            ) if device_limiter else None,
             per_sample_out_gain=self.params.out_gain_per_sample,
             batch_frames=batch_frames,
             head_trim=head_trim,
+            emit_float=self.needs_resample,
         )
 
     def _open_element(self, item, econf, sound_system, out_ch) -> _ElemCtx:
@@ -290,6 +320,7 @@ class BatchedStreamDecoder:
             q78_to_db(econf.element_mix_gain.default_mix_gain_q78))
 
         downmix = None
+        hrtf_bank = None
         if stream.scheme == ElementType.CHANNEL_BASED:
             s = stream
             codec = open_decoder(
@@ -306,8 +337,18 @@ class BatchedStreamDecoder:
                 output_gains=(1.0,) * len(order),
             )
             in_layout = s.selected_layout
-            tgt = SS_TO_LAYOUT.get(SoundSystem(sound_system))
-            if (tgt is not None and s.dmx_default_mode >= 0
+            tgt = (SS_TO_LAYOUT.get(SoundSystem(sound_system))
+                   if self.layout.type == LayoutType.SS_CONVENTION else None)
+            if (self.layout.type == LayoutType.BINAURAL
+                    and econf.headphones_rendering_mode == 1):
+                # M2B: the demixed channel bed convolves with the layout's
+                # HRIR bank (serial path: StreamRenderer.render; the
+                # reference delegates to BEAR, m2b_rdr.c:49-121)
+                from ..dsp.binaural import hrir_bank
+
+                render_mat = np.eye(len(order), dtype=np.float32)
+                hrtf_bank = hrir_bank(in_layout, 256, 48000)
+            elif (tgt is not None and s.dmx_default_mode >= 0
                     and can_downmix(in_layout, tgt)):
                 mode = max(s.dmx_default_mode, 0)
                 render_mat = downmix_matrix(
@@ -339,10 +380,22 @@ class BatchedStreamDecoder:
                     if m < lanes:
                         conv[i, m] = 1.0
             hoa_order = rdr.hoa_order_for_channels(n_amb)
-            full = rdr.h2m_full_matrix(
-                hoa_order, self.layout.render_id, out_ch,
-                self.layout.samsung_tv)  # [out, n_amb]
-            render_mat = (full @ conv).astype(np.float32)  # [out, lanes]
+            if (self.layout.type == LayoutType.BINAURAL
+                    and econf.headphones_rendering_mode == 1):
+                # H2B: HOA -> 7.1.2 virtual speaker bed -> HRTF conv
+                # (serial path parity; replaces Resonance, h2b_rdr.c:48-128)
+                from ..constants import ChannelLayout
+                from ..dsp.binaural import hrir_bank
+
+                virt = rdr.h2m_full_matrix(
+                    hoa_order, 0x712, 10, self.layout.samsung_tv)
+                render_mat = (virt @ conv).astype(np.float32)  # [10, lanes]
+                hrtf_bank = hrir_bank(ChannelLayout.L712, 256, 48000)
+            else:
+                full = rdr.h2m_full_matrix(
+                    hoa_order, self.layout.render_id, out_ch,
+                    self.layout.samsung_tv)  # [out, n_amb]
+                render_mat = (full @ conv).astype(np.float32)  # [out, lanes]
             demix_spec = None
             n_in = lanes
 
@@ -385,7 +438,7 @@ class BatchedStreamDecoder:
             substream_ids=list(el.substream_ids),
             demix_spec=demix_spec, render_mat=render_mat, downmix=downmix,
             n_in=n_in, input_scale=input_scale, raw_input=raw_input,
-            opus=opus, aac=aac, gain=gain,
+            opus=opus, aac=aac, gain=gain, hrtf_bank=hrtf_bank,
         )
 
     def _opus_celt_960(self, el):
@@ -452,6 +505,43 @@ class BatchedStreamDecoder:
         return np.concatenate(
             [d["spec"].astype(np.float32), packed], axis=-1), None
 
+    def _host_resample_tail(self, full: np.ndarray) -> np.ndarray:
+        """Rate-mismatch output stage: resample the fetched device float mix
+        to 48 kHz, then normalize, limit, and quantize on the host — the
+        same streaming objects and order as the serial api decoder
+        (iamf_resample IAMF_decoder.c:3223-3248 -> loudness :3480 ->
+        limiter :3487; flush drain :3250-3301)."""
+        from ..dsp.limiter import Limiter, LimiterConfig as _LC
+        from ..dsp.quantize import quantize_interleave
+        from ..dsp.resample import Resampler
+
+        T = self.frame_size
+        n = self.n_frames
+        want = n * T - self.lead - self.tail
+        x = full[self.lead: self.lead + want].T.astype(np.float32)  # [C, N]
+        C = x.shape[0]
+        rs = Resampler(channels=C, in_rate=self.stream_rate, out_rate=48000)
+        y = rs.process(x)
+        if self._norm_gain != 1.0:
+            y = y * np.float32(self._norm_gain)
+        drained = rs.drain()  # latency tail: NOT normalized (api parity)
+        if drained is None:
+            drained = np.zeros((C, 0), np.float32)
+        if not self._want_limiter:
+            out = np.concatenate([y, drained], axis=1)
+            return np.asarray(quantize_interleave(out, self.bits))
+        lim = Limiter(_LC(
+            channels=C,
+            **({"threshold_db": self._peak_threshold_db}
+               if self._peak_threshold_db is not None else {}),
+        ))
+        out = lim.process(y)
+        drain = lim.process(np.concatenate(
+            [drained, np.zeros((C, lim.cfg.delay_size), np.float32)],
+            axis=1))
+        out = np.concatenate([out, drain], axis=1)
+        return np.asarray(quantize_interleave(out, self.bits))
+
     def decode_all(self, fetch: bool = True):
         """Decode everything; returns [samples, out_channels] int PCM.
 
@@ -465,11 +555,25 @@ class BatchedStreamDecoder:
         T = self.frame_size
         n = self.n_frames
         n_batches = -(-n // B)
+        if self.needs_resample and not fetch:
+            raise ValueError(
+                f"stream rate {self.stream_rate} != 48000: the host "
+                f"resample tail needs fetch=True")
         carry = init_carry(self.cfg)
         # whole-stream parameter tensors: ONE bulk h2d put each (+1 batch of
         # neutral padding so the limiter drain can run past the stream end)
         stream_params = put_stream_params(
             self.cfg, self.params, (n_batches + 1) * B)
+        if any(es.hrtf_taps for es in self.cfg.elements):
+            # HRIR spectra at the batch conv length (device-resident,
+            # put once; see pipeline.decode_frames binaural branch)
+            stream_params["hrtf_H"] = {
+                i: jnp.asarray(np.fft.rfft(
+                    e.hrtf_bank, n=B * T + e.hrtf_bank.shape[2] - 1,
+                    axis=2).astype(np.complex64))
+                for i, e in enumerate(self.elems)
+                if e.hrtf_bank is not None
+            }
 
         # per-element: one vectorized unpack for the whole stream (or, for
         # opus/aac, per-batch spectrum decode feeding the device synthesis)
@@ -608,6 +712,8 @@ class BatchedStreamDecoder:
         fetched = [f.result() for f in fetch_futs]
         fetch_pool.shutdown()
         full = np.concatenate(fetched[k0:], axis=0)
+        if self.needs_resample:
+            return self._host_resample_tail(full)
         if self.cfg.limiter is not None:
             # limiter look-ahead: drop the first delay_size rows; the
             # trailing pad batches already pushed zeros through the delay

@@ -57,6 +57,10 @@ class ElementSpec:
     #   (demixer_set_frame_offset, demixer.c:537-563)
     rg_index: tuple[int, ...] = ()  # recon-smoothed output-channel indices
     per_sample_gain: bool = False  # elem gain arrives [B, T] instead of [B]
+    hrtf_taps: int = 0  # >0: binaural element — render_mat produces the
+    #   virtual-speaker bed, then a streaming overlap-save HRTF FFT-conv
+    #   (params['hrtf_H'][i], carry['hrtf'][i]) folds it to 2 ears across
+    #   the whole batch timeline (M2B/H2B, dsp/binaural.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +79,11 @@ class PipelineConfig:
     #   holds the previous batch's mixed samples); callers discard the
     #   first call's output. Only set when a limiter is active — without
     #   one, trimming after quantize is equivalent.
+    emit_float: bool = False  # return mixed float32 [B*T, out] instead of
+    #   quantized int PCM — the rate-mismatch path: the host resamples the
+    #   device mix to the output rate, then normalizes/limits/quantizes
+    #   (iamf_resample IAMF_decoder.c:3223-3248 runs between mix and
+    #   loudness). Requires limiter=None and head_trim=0.
 
 
 def _limiter_block(cfg: LimiterConfig, state: dict, x):
@@ -128,6 +137,56 @@ def _limiter_block(cfg: LimiterConfig, state: dict, x):
     return jax.lax.cond(can_fast, fast, slow, state)
 
 
+def _element_frame(cfg: PipelineConfig, i: int, inputs: dict):
+    """Demix + render for ONE element of ONE frame (pre-gain).
+
+    Returns [out_channels, T] (or the virtual-speaker bed [n_bed, T] for a
+    binaural element, which the caller folds to 2 ears by HRTF conv)."""
+    es = cfg.elements[i]
+    T = cfg.frame_size
+    x = inputs["x"][i]
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32) * jnp.float32(es.input_scale)
+    if es.demix is not None:
+        fac = inputs["factors"][i]  # [2, 5]
+        if es.skip:
+            # first `skip` samples use the previous frame's factors
+            mask = (jnp.arange(T) < es.skip).astype(jnp.float32)
+            factors_t = {
+                k: fac[0, j] * mask + fac[1, j] * (1.0 - mask)
+                for j, k in enumerate(FACTOR_KEYS)
+            }
+        else:
+            factors_t = {k: fac[1, j] for j, k in enumerate(FACTOR_KEYS)}
+        if es.rg_index:
+            start_w, stop_w = make_windows(T, es.skip)
+            rg = inputs["rg"][i]  # [n_rg, 3]
+            filt = (rg[:, 0:1] * jnp.asarray(stop_w)[None, :]
+                    + rg[:, 1:2] * jnp.asarray(start_w)[None, :])
+            # inactive rows (flags changed mid-stream) pass through
+            filt = rg[:, 2:3] * filt + (1.0 - rg[:, 2:3])
+        else:
+            filt = None
+        y = demix_frame(x, es.demix, factors_t, es.rg_index, filt)
+    else:
+        y = x
+    # render: blend previous/current matrices across the offset split
+    m_cur = inputs["m_cur"][i]
+    r = jnp.einsum(
+        "om,mt->ot", m_cur, y, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if es.render_offset:
+        m_prev = inputs["m_prev"][i]
+        r_prev = jnp.einsum(
+            "om,mt->ot", m_prev, y, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        mask = (jnp.arange(T) < es.render_offset).astype(jnp.float32)
+        r = r_prev * mask[None, :] + r * (1.0 - mask[None, :])
+    return r
+
+
 def _frame_compute(cfg: PipelineConfig, inputs: dict):
     """Demix + render + gains + mix for ONE frame (no limiter).
 
@@ -140,49 +199,9 @@ def _frame_compute(cfg: PipelineConfig, inputs: dict):
       out_gain: scalar or [T]
     Returns mixed [out_channels, T] float32.
     """
-    T = cfg.frame_size
     mixed = None
     for i, es in enumerate(cfg.elements):
-        x = inputs["x"][i]
-        if x.dtype != jnp.float32:
-            x = x.astype(jnp.float32) * jnp.float32(es.input_scale)
-        if es.demix is not None:
-            fac = inputs["factors"][i]  # [2, 5]
-            if es.skip:
-                # first `skip` samples use the previous frame's factors
-                mask = (jnp.arange(T) < es.skip).astype(jnp.float32)
-                factors_t = {
-                    k: fac[0, j] * mask + fac[1, j] * (1.0 - mask)
-                    for j, k in enumerate(FACTOR_KEYS)
-                }
-            else:
-                factors_t = {k: fac[1, j] for j, k in enumerate(FACTOR_KEYS)}
-            if es.rg_index:
-                start_w, stop_w = make_windows(T, es.skip)
-                rg = inputs["rg"][i]  # [n_rg, 3]
-                filt = (rg[:, 0:1] * jnp.asarray(stop_w)[None, :]
-                        + rg[:, 1:2] * jnp.asarray(start_w)[None, :])
-                # inactive rows (flags changed mid-stream) pass through
-                filt = rg[:, 2:3] * filt + (1.0 - rg[:, 2:3])
-            else:
-                filt = None
-            y = demix_frame(x, es.demix, factors_t, es.rg_index, filt)
-        else:
-            y = x
-        # render: blend previous/current matrices across the offset split
-        m_cur = inputs["m_cur"][i]
-        r = jnp.einsum(
-            "om,mt->ot", m_cur, y, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        if es.render_offset:
-            m_prev = inputs["m_prev"][i]
-            r_prev = jnp.einsum(
-                "om,mt->ot", m_prev, y, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            mask = (jnp.arange(T) < es.render_offset).astype(jnp.float32)
-            r = r_prev * mask[None, :] + r * (1.0 - mask[None, :])
+        r = _element_frame(cfg, i, inputs)
         g = inputs["elem_gain"][i]
         r = r * g[None, :] if es.per_sample_gain else r * g
         mixed = r if mixed is None else mixed + r
@@ -239,7 +258,43 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
     }
     carry = dict(carry, pos=pos + B)
 
-    mixed = jax.vmap(lambda inp: _frame_compute(cfg, inp))(per_frame_inputs)
+    if any(es.hrtf_taps for es in cfg.elements):
+        # binaural: each element renders to its virtual-speaker bed
+        # per-frame, then ONE streaming overlap-save HRTF FFT-conv over the
+        # whole batch timeline folds the bed to 2 ears (equivalent to the
+        # serial per-frame conv: overlap-save chains across frames exactly
+        # like convolving the concatenated signal). Element gains apply
+        # per-frame AFTER the conv, matching the serial order (render ->
+        # binaural -> gain, api._decode_frame).
+        T = cfg.frame_size
+        mixed = None
+        new_hrtf = dict(carry.get("hrtf", {}))
+        for i, es in enumerate(cfg.elements):
+            r = jax.vmap(
+                lambda inp, i=i: _element_frame(cfg, i, inp)
+            )(per_frame_inputs)  # [B, C_i, T]
+            if es.hrtf_taps:
+                taps = es.hrtf_taps
+                C = r.shape[1]
+                flat = r.transpose(1, 0, 2).reshape(C, B * T)
+                n = B * T + taps - 1
+                X = jnp.fft.rfft(flat, n=n, axis=1)  # [C, F]
+                Y = jnp.einsum("ecf,cf->ef", params["hrtf_H"][i], X,
+                               precision=jax.lax.Precision.HIGHEST)
+                y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
+                out = y[:, : B * T].at[:, : taps - 1].add(carry["hrtf"][i])
+                new_hrtf[i] = y[:, B * T:]
+                r = out.reshape(2, B, T).transpose(1, 0, 2)  # [B, 2, T]
+            g = per_frame_inputs["elem_gain"][i]
+            r = r * g[:, None, :] if es.per_sample_gain else r * g[:, None, None]
+            mixed = r if mixed is None else mixed + r
+        og = per_frame_inputs["out_gain"]
+        mixed = (mixed * og[:, None, :] if cfg.per_sample_out_gain
+                 else mixed * og[:, None, None])
+        carry = dict(carry, hrtf=new_hrtf)
+    else:
+        mixed = jax.vmap(
+            lambda inp: _frame_compute(cfg, inp))(per_frame_inputs)
 
     if cfg.head_trim:
         # pre-limiter trim splice (see PipelineConfig.head_trim): delete the
@@ -284,6 +339,11 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
         lim_state, limited = jax.lax.cond(can_fast, fast, slow, state)
         carry = dict(carry, limiter=lim_state)
         mixed = limited
+
+    if cfg.emit_float:
+        B = mixed.shape[0]
+        return carry, mixed.transpose(0, 2, 1).reshape(
+            B * cfg.frame_size, cfg.out_channels)
 
     pcm = jax.vmap(lambda m: quantize_interleave(m, cfg.bits))(mixed)
     # flatten to [B*T, out] ON DEVICE: the tunneled d2h path transfers 3-D
@@ -346,4 +406,9 @@ def init_carry(cfg: PipelineConfig) -> dict:
         carry["splice"] = jnp.zeros(
             (cfg.out_channels, cfg.batch_frames * cfg.frame_size),
             jnp.float32)
+    if any(es.hrtf_taps for es in cfg.elements):
+        carry["hrtf"] = {
+            i: jnp.zeros((2, es.hrtf_taps - 1), jnp.float32)
+            for i, es in enumerate(cfg.elements) if es.hrtf_taps
+        }
     return carry

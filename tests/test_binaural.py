@@ -196,3 +196,50 @@ def test_hrir_bank_properties():
     pl = np.argmax(np.abs(h[0]))
     pr = np.argmax(np.abs(h[1]))
     assert pl < pr
+
+
+# ---------------------------------------------------------------------------
+# Batched-path binaural (VERDICT r2 missing #6): BatchedStreamDecoder must
+# serve -sb through the fused device pipeline, matching the serial path.
+# ---------------------------------------------------------------------------
+
+
+def test_batched_binaural_matrix_matches_reference(tmp_path):
+    """hrm=0 (reference default, binauralizer compiled out): the batched
+    path renders via the M2M IAMF_BINAURAL matrix — ≤1 LSB vs -sb (the
+    batched matmul render's usual accumulation-order tolerance)."""
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=6)
+    ref = ref_decode(stream, tmp_path, sound_system="b")
+    out = np.asarray(BatchedStreamDecoder(
+        stream, binaural=True, batch_frames=4).decode_all())
+    assert out.shape == ref.shape
+    assert_close(out, ref, max_lsb=1, frac=0)
+
+
+def test_batched_binaural_hrtf_m2b_matches_serial():
+    """hrm=1 in the stream: the fused pipeline's whole-batch overlap-save
+    HRTF conv must equal the serial per-frame HRTFRenderer (same bank,
+    same overlap chaining) across batch boundaries."""
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=7, hrm=1)
+    serial = ours_decode(stream, binaural=True)
+    out = np.asarray(BatchedStreamDecoder(
+        stream, binaural=True, batch_frames=3).decode_all())
+    assert out.shape == serial.shape
+    assert_close(out, serial, max_lsb=1, frac=0)
+
+
+def test_batched_binaural_hrtf_h2b_matches_serial():
+    """Scene-based hrm=1: HOA -> 7.1.2 virtual bed -> HRTF conv, fused."""
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    stream, _ = vectors.build_ambisonics_pcm_stream(
+        order=1, n_frames=6, target_layouts=(0,), hrm=1)
+    serial = ours_decode(stream, binaural=True)
+    out = np.asarray(BatchedStreamDecoder(
+        stream, binaural=True, batch_frames=4).decode_all())
+    assert out.shape == serial.shape
+    assert_close(out, serial, max_lsb=1, frac=0)

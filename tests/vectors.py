@@ -101,6 +101,7 @@ def build_pcm_layout_stream(
     demix_modes=None,  # per-frame demixing_mode values (param blocks)
     mix_gain_segments=None,  # per-frame element mix-gain segment dicts
     out_gain_segments=None,  # per-frame output mix-gain segment dicts
+    hrm: int = 0,  # headphones_rendering_mode (1 => HRTF conv binaural)
 ) -> tuple[bytes, np.ndarray]:
     """Single-layer channel-based ipcm stream for any IA layout.
 
@@ -143,7 +144,8 @@ def build_pcm_layout_stream(
         mix_presentation_id=10,
         elements=[
             builder.MixElementSpec(
-                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100),
+                headphones_rendering_mode=hrm,
             )
         ],
         layouts=[builder.LayoutSpec(sound_system=0),
@@ -209,6 +211,7 @@ def build_scalable_pcm_stream(
     default_demix_w: int = 0,
     target_layouts=(1, 0),
     seed: int = 7,
+    hrm: int = 0,  # headphones_rendering_mode (1 => HRTF conv binaural)
 ) -> tuple[bytes, np.ndarray]:
     """Two-layer scalable channel stream: stereo layer + 5.1 layer.
 
@@ -256,7 +259,8 @@ def build_scalable_pcm_stream(
         mix_presentation_id=10,
         elements=[
             builder.MixElementSpec(
-                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100),
+                headphones_rendering_mode=hrm,
             )
         ],
         layouts=[builder.LayoutSpec(sound_system=ss) for ss in target_layouts],
@@ -302,6 +306,7 @@ def build_ambisonics_pcm_stream(
     projection: bool = False,
     seed: int = 11,
     target_layouts=(1, 0),
+    hrm: int = 0,  # headphones_rendering_mode (1 => HRTF conv binaural)
 ) -> tuple[bytes, np.ndarray]:
     """Scene-based (ambisonics) ipcm stream: FOA/SOA/TOA ACN channels as
     mono substreams (mode=MONO) or coupled+mono with a Q15 demix matrix
@@ -351,7 +356,8 @@ def build_ambisonics_pcm_stream(
         mix_presentation_id=10,
         elements=[
             builder.MixElementSpec(
-                element_id=1, mix_gain_param=builder.ParamDefinition(id=100)
+                element_id=1, mix_gain_param=builder.ParamDefinition(id=100),
+                headphones_rendering_mode=hrm,
             )
         ],
         layouts=[builder.LayoutSpec(sound_system=ss) for ss in target_layouts],
