@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.batch_decoder import BatchedStreamDecoder
-from ..core.pipeline import PipelineConfig, _frame_compute
+from ..core.pipeline import PipelineConfig, _element_frame, _frame_compute
 from ..dsp.limiter import init_state, process_block
 from ..dsp.quantize import quantize_interleave
 
@@ -100,12 +100,26 @@ class ShardedStreamDecoder:
 
     def __init__(self, data: bytes, mesh: Mesh | None = None,
                  n_devices: int | None = None, sound_system: int = 0,
-                 bits: int = 16, limiter: bool = True):
+                 bits: int = 16, limiter: bool = True,
+                 element_axis: int = 1):
         if mesh is None:
             n = n_devices or len(jax.devices())
-            mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("frames",))
+            if element_axis > 1:
+                f = n // element_axis
+                if f < 1:
+                    raise ValueError(
+                        f"element_axis={element_axis} needs >= that many "
+                        f"devices, have {n}")
+                mesh = Mesh(
+                    np.array(jax.devices()[: f * element_axis]).reshape(
+                        f, element_axis),
+                    axis_names=("frames", "elements"))
+            else:
+                mesh = Mesh(np.array(jax.devices()[:n]),
+                            axis_names=("frames",))
         self.mesh = mesh
         self.n_shards = mesh.shape["frames"]
+        self.n_eshards = dict(mesh.shape).get("elements", 1)
         self.base = BatchedStreamDecoder(
             data, sound_system=sound_system, bits=bits, limiter=limiter,
             batch_frames=128,  # only gates head_trim; we drive the pipeline
@@ -232,7 +246,7 @@ class ShardedStreamDecoder:
 
         pcm_shards, final_lim = _sharded_program(
             self.mesh, cfg, S, tuple(kinds), self.prerolls,
-            tuple(chunks))(tuple(xs_sharded), params)
+            tuple(chunks), self.n_eshards)(tuple(xs_sharded), params)
 
         pcm = self._fetch(pcm_shards).reshape(S * F * T, cfg.out_channels)
 
@@ -264,13 +278,92 @@ class ShardedStreamDecoder:
         return pcm[lead: lead + want]
 
 
+def _comb_chain(cfg, opus_sig: dict, chunks: tuple, n_shards: int):
+    """Stage 2: the CELT comb post-filter + de-emphasis IIR chains across
+    the 'frames' axis (exact ppermute hand-off; see module docstring).
+
+    opus_sig: {elem index: (sig [L, N], coeff tensors)}. Returns
+    {elem index: pcm [L, N]} (s16-granular float)."""
+    from ..codecs.opus import tpu_synth
+
+    idx = jax.lax.axis_index("frames")
+    perm = [(i, i + 1) for i in range(n_shards - 1)]
+    carry0 = {
+        i: (_pvary(jnp.zeros((opus_sig[i][0].shape[0], tpu_synth.HIST),
+                             jnp.float32), "frames"),
+            _pvary(jnp.zeros((opus_sig[i][0].shape[0],), jnp.float32),
+                   "frames"))
+        for i in opus_sig
+    }
+    outs0 = {i: jnp.zeros_like(opus_sig[i][0]) for i in opus_sig}
+
+    def body(k, c):
+        carry, outs = c
+        mine = (idx == k)
+        new_carry = {}
+        for i in opus_sig:
+            sig, coeffs = opus_sig[i]
+            hist, demem = carry[i]
+            pcm, hist2, demem2 = tpu_synth.comb_deemph(
+                sig, coeffs, hist, demem, chunks[i] or 104)
+            outs[i] = jnp.where(mine, pcm, outs[i])
+            new_carry[i] = (
+                jax.lax.ppermute(
+                    jnp.where(mine, hist2, hist), "frames", perm),
+                jax.lax.ppermute(
+                    jnp.where(mine, demem2, demem), "frames", perm),
+            )
+        return new_carry, outs
+
+    _, outs = jax.lax.fori_loop(0, n_shards, body, (carry0, outs0))
+    return outs
+
+
+def _post_mix(cfg: PipelineConfig, flat, n_shards: int):
+    """Stages after the element mix: head-trim splice halo, limiter chain,
+    quantize. flat: [out, F*T] this shard's mixed samples."""
+    if cfg.head_trim:
+        # pre-limiter trim splice, sharded form: the stream's leading
+        # trimmed samples (zeroed by the out-gain mask) are deleted from
+        # the global timeline by shifting every shard left by head_trim —
+        # one ppermute halo of the RIGHT neighbour's first samples (the
+        # last shard backfills with zeros: pad region)
+        h = cfg.head_trim
+        halo = jax.lax.ppermute(
+            flat[:, :h], "frames",
+            [(i, i - 1) for i in range(1, n_shards)])
+        flat = jnp.concatenate([flat[:, h:], halo], axis=1)
+
+    if cfg.limiter is not None:
+        y, final = _limiter_shard_chain(cfg, flat, n_shards, "frames")
+    else:
+        y = flat
+        final = _pvary(jnp.zeros(()), "frames")
+
+    pcm = quantize_interleave(y, cfg.bits)  # [F*T, out]
+    return pcm, final
+
+
 def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
-                     kinds: tuple, prerolls: tuple, chunks: tuple):
+                     kinds: tuple, prerolls: tuple, chunks: tuple,
+                     n_eshards: int = 1):
     """Build the jitted shard_map decode program.
 
-    fn(xs: tuple of [S, R_e+F, ...] sharded over 'frames',
+    fn(xs: tuple of [S, R_e+F, ...] sharded over 'frames' (replicated over
+       'elements' when that axis exists),
        params: pytree of [S, F, ...] sharded (+ replicated mats))
     -> (pcm [S, F*T, out] sharded, final limiter state stacked [S, ...]).
+
+    With n_eshards > 1 the mesh is 2-D (frames, elements) and the per-
+    element compute is sharded over the elements axis: element i belongs
+    to element-shard i % n_eshards; each shard runs only its elements'
+    filterbank/demix/render (jax.lax.switch on the axis index — every
+    device runs the same program, the branch picks the owned subset), and
+    the mix is a psum over 'elements' — the reference's mixer sum
+    (iamf_mixer_mix, IAMF_decoder.c:2702-2733) as the collective. The
+    cheap sequential IIR chains (comb/de-emphasis, limiter) run on every
+    element row on the psum-replicated data, keeping all collectives
+    outside the switch branches.
     """
     n_e = len(cfg.elements)
     T = cfg.frame_size
@@ -302,37 +395,7 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
 
         # ---- stage 2 (chain): CELT comb post-filter + de-emphasis IIRs
         if opus_idx:
-            from ..codecs.opus import tpu_synth
-
-            carry0 = {
-                i: (_pvary(jnp.zeros((opus_sig[i][0].shape[0],
-                                      tpu_synth.HIST), jnp.float32),
-                           "frames"),
-                    _pvary(jnp.zeros((opus_sig[i][0].shape[0],),
-                                     jnp.float32), "frames"))
-                for i in opus_idx
-            }
-            outs0 = {i: jnp.zeros_like(opus_sig[i][0]) for i in opus_idx}
-
-            def body(k, c):
-                carry, outs = c
-                mine = (idx == k)
-                new_carry = {}
-                for i in opus_idx:
-                    sig, coeffs = opus_sig[i]
-                    hist, demem = carry[i]
-                    pcm, hist2, demem2 = tpu_synth.comb_deemph(
-                        sig, coeffs, hist, demem, chunks[i] or 104)
-                    outs[i] = jnp.where(mine, pcm, outs[i])
-                    new_carry[i] = (
-                        jax.lax.ppermute(
-                            jnp.where(mine, hist2, hist), "frames", perm),
-                        jax.lax.ppermute(
-                            jnp.where(mine, demem2, demem), "frames", perm),
-                    )
-                return new_carry, outs
-
-            _, outs = jax.lax.fori_loop(0, n_shards, body, (carry0, outs0))
+            outs = _comb_chain(cfg, opus_sig, chunks, n_shards)
             for i in opus_idx:
                 L = outs[i].shape[0]
                 x_list[i] = outs[i].reshape(L, -1, T).transpose(1, 0, 2)
@@ -353,26 +416,131 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
         Fl = mixed.shape[0]
         flat = mixed.transpose(1, 0, 2).reshape(cfg.out_channels, Fl * T)
 
-        if cfg.head_trim:
-            # pre-limiter trim splice, sharded form: the stream's leading
-            # trimmed samples (zeroed by the out-gain mask) are deleted
-            # from the global timeline by shifting every shard left by
-            # head_trim — one ppermute halo of the RIGHT neighbour's first
-            # samples (the last shard backfills with zeros: pad region)
-            h = cfg.head_trim
-            halo = jax.lax.ppermute(
-                flat[:, :h], "frames",
-                [(i, i - 1) for i in range(1, n_shards)])
-            flat = jnp.concatenate([flat[:, h:], halo], axis=1)
+        # ---- stage 4 (chains): trim splice halo + limiter envelope
+        pcm, final = _post_mix(cfg, flat, n_shards)
+        return pcm[None], jax.tree.map(lambda a: a[None], final)
 
-        # ---- stage 4 (chain): limiter envelope
-        if cfg.limiter is not None:
-            y, final = _limiter_shard_chain(cfg, flat, n_shards, "frames")
-        else:
-            y = flat
-            final = _pvary(jnp.zeros(()), "frames")
+    def local_elements(xs, params):
+        """2-D (frames, elements) variant: per-element work sharded over
+        the elements axis, psum mixer, IIR chains on replicated data."""
+        from ..codecs.opus import tpu_synth
 
-        pcm = quantize_interleave(y, cfg.bits)  # [Fl*T, out]
+        xs = [x[0] for x in xs]
+        ei = jax.lax.axis_index("elements")
+        owner = [i % n_eshards for i in range(n_e)]
+        Fl = params["out_gain"][0].shape[0]
+
+        # ---- phase A (element-sharded): opus IMDCT filterbanks -> lane
+        # slabs. Each branch computes shard_stages only for its owned
+        # elements and zero-fills the rest; the psum over 'elements'
+        # reassembles the full slab on every row (collective OUTSIDE the
+        # switch, so every device always executes it).
+        x_list = [None] * n_e
+        opus_sig = {}
+        if opus_idx:
+            shapes = {
+                i: jax.eval_shape(
+                    lambda b, i=i: tpu_synth.shard_stages(b, prerolls[i]),
+                    xs[i])
+                for i in opus_idx
+            }
+
+            def make_branch(g):
+                def fn(_):
+                    parts = []
+                    for i in opus_idx:
+                        if owner[i] == g:
+                            sig, cs = tpu_synth.shard_stages(
+                                xs[i], prerolls[i])
+                        else:
+                            # zero lanes, marked varying over 'frames' to
+                            # match the owned branch's output types
+                            s_sig, s_cs = shapes[i]
+                            sig = _pvary(
+                                jnp.zeros(s_sig.shape, s_sig.dtype),
+                                "frames")
+                            cs = tuple(
+                                _pvary(jnp.zeros(s.shape, s.dtype),
+                                       "frames")
+                                for s in s_cs)
+                        parts.append((sig,) + cs)
+                    return tuple(
+                        jnp.concatenate([p[k] for p in parts], axis=0)
+                        for k in range(5))
+                return fn
+
+            slabs = jax.lax.switch(
+                ei, [make_branch(g) for g in range(n_eshards)], 0)
+            slabs = jax.lax.psum(slabs, "elements")
+            off = 0
+            for i in opus_idx:
+                L = shapes[i][0].shape[0]
+                opus_sig[i] = (
+                    slabs[0][off:off + L],
+                    tuple(slabs[k][off:off + L] for k in range(1, 5)))
+                off += L
+
+            # ---- phase B (chain, replicated over element rows): comb +
+            # de-emphasis IIRs with exact ppermute hand-off over 'frames'
+            outs = _comb_chain(cfg, opus_sig, chunks, n_shards)
+            for i in opus_idx:
+                L = outs[i].shape[0]
+                x_list[i] = outs[i].reshape(L, -1, T).transpose(1, 0, 2)
+
+        # ---- phase C (element-sharded): AAC filterbank + demix + render
+        # + element gain per owned element; psum over 'elements' IS the
+        # reference's mixer sum (iamf_mixer_mix, IAMF_decoder.c:2702-2733)
+        def elem_contrib(i):
+            es = cfg.elements[i]
+            if kinds[i] == "opus":
+                x_i = x_list[i]
+            elif kinds[i] == "aac":
+                from ..codecs.aac import tpu_synth as aac_synth
+
+                lanes = xs[i].shape[1]
+                x_a, _ = aac_synth.synthesize_packed(
+                    xs[i], aac_synth.init_carry(lanes))
+                x_i = x_a[prerolls[i]:]
+            else:
+                x_i = xs[i][prerolls[i]:]
+            mi = params["mat_idx"][i][0]
+            pf = {
+                "x": {i: x_i},
+                "factors": {i: params["factors"][i][0]},
+                "rg": {i: params["rg"][i][0]},
+                "m_prev": {i: params["mats"][i][mi[:, 0]]},
+                "m_cur": {i: params["mats"][i][mi[:, 1]]},
+            }
+            r = jax.vmap(
+                lambda inp, i=i: _element_frame(cfg, i, inp))(pf)
+            g = params["elem_gain"][i][0]
+            return r * g[:, None, :] if es.per_sample_gain \
+                else r * g[:, None, None]
+
+        def make_render_branch(g):
+            def fn(_):
+                total = None
+                for i in range(n_e):
+                    if owner[i] != g:
+                        continue
+                    r = elem_contrib(i)
+                    total = r if total is None else total + r
+                if total is None:
+                    total = _pvary(
+                        jnp.zeros((Fl, cfg.out_channels, T), jnp.float32),
+                        "frames")
+                return total
+            return fn
+
+        contrib = jax.lax.switch(
+            ei, [make_render_branch(g) for g in range(n_eshards)], 0)
+        mixed = jax.lax.psum(contrib, "elements")
+        og = params["out_gain"][0]
+        mixed = (mixed * og[:, None, :] if cfg.per_sample_out_gain
+                 else mixed * og[:, None, None])
+        flat = mixed.transpose(1, 0, 2).reshape(cfg.out_channels, Fl * T)
+
+        pcm, final = _post_mix(cfg, flat, n_shards)
         return pcm[None], jax.tree.map(lambda a: a[None], final)
 
     in_specs = (
@@ -395,4 +563,5 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
     out_specs = (P("frames"), lim_spec)
 
     return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs))
+        local_elements if n_eshards > 1 else local,
+        mesh=mesh, in_specs=in_specs, out_specs=out_specs))
