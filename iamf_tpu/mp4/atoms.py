@@ -2,14 +2,19 @@
 
 Framework equivalents of the reference verifier tooling: `atom_dump`
 (test/tools/iamfplayer/src/atom.c:294+, pretty-prints the box tree) and the
-MP4 YAML vlogger (vlogging_iamfmp4_sr.c:193+ `write_*_atom_log`, consumed by
-the AOM conformance comparison tool). Exposed through the player's -v flag
-for -i1 (mp4) inputs.
+MP4 YAML vlogger (vlogging_iamfmp4_sr.c:193-1672 `write_*_atom_log`,
+dispatched from the demuxer's box readers, mp4demux.c `vlog_atom` calls).
+The YAML output is byte-identical to a `-DSUPPORT_VERIFIER=1` reference
+player run on mp4 input (tests/test_vlogger_diff.py), including the
+reference's quirks: the 1904-epoch date rendering via gmtime+1834, the
+`%016x` box-offset entry names, TrackWidth/Height read as u16 but advanced
+by 4, and the box subset the demuxer actually vlogs (no minf/smhd/mdat).
+Exposed through the player's -v flag for -i1 (mp4) inputs.
 """
 
 from __future__ import annotations
 
-import struct
+import time
 from typing import TextIO
 
 _CONTAINERS = {
@@ -17,15 +22,13 @@ _CONTAINERS = {
     b"traf", b"mvex", b"udta", b"dinf",
 }
 
-_FULLBOX = {
-    b"mvhd", b"tkhd", b"mdhd", b"hdlr", b"elst", b"stts", b"stsc",
-    b"stsz", b"stco", b"co64", b"stsd", b"sgpd", b"sbgp", b"tfhd",
-    b"trun", b"tfdt", b"mehd", b"trex", b"smhd",
-}
-
 
 def _u(b, off, n):
     return int.from_bytes(b[off:off + n], "big")
+
+
+def _s(b, off, n):
+    return int.from_bytes(b[off:off + n], "big", signed=True)
 
 
 def iter_boxes(data, start, end):
@@ -64,26 +67,83 @@ def atom_dump(data: bytes, out: TextIO) -> int:
     return n
 
 
+def _utc(val: int) -> str:
+    """utc2rstring (vlogging_iamfmp4_sr.c:103-132): gmtime of the raw field
+    with tm_year+1834 — i.e. the Unix-epoch calendar shifted to 1904."""
+    t = time.gmtime(val)
+    return (f"{t.tm_year - 66:04d}-{t.tm_mon:02d}-{t.tm_mday:02d} "
+            f"{t.tm_hour:02d}:{t.tm_min:02d}:{t.tm_sec:02d} UTC")
+
+
+def _read_obu_header(d, pos, end):
+    """read_IAMF_OBU subset: returns (obu_type, payload_off, next_pos) or
+    None. Payload skips trims/extension like the reference's walk."""
+    if end - pos < 2:
+        return None
+    val = d[pos]
+    obu_type = (val & 0xF8) >> 3
+    trimming = (val & 0x02) >> 1
+    extension = val & 0x01
+    i = pos + 1
+    size = 0
+    shift = 0
+    while i < end:
+        byte = d[i]
+        size |= (byte & 0x7F) << shift
+        shift += 7
+        i += 1
+        if not (byte & 0x80):
+            break
+    obu_end = i + size
+    if obu_end > end:
+        return None
+    p = i
+    if trimming:
+        for _ in range(2):  # trim_end, trim_start leb128s
+            while p < end and d[p] & 0x80:
+                p += 1
+            p += 1
+    if extension:
+        ext = 0
+        shift = 0
+        while p < end:
+            byte = d[p]
+            ext |= (byte & 0x7F) << shift
+            shift += 7
+            p += 1
+            if not (byte & 0x80):
+                break
+        p += ext
+    return obu_type, p, obu_end
+
+
+def _leb128(d, pos):
+    ret = 0
+    for i in range(8):
+        byte = d[pos + i]
+        ret |= (byte & 0x7F) << (i * 7)
+        if not (byte & 0x80):
+            return ret, pos + i + 1
+    return ret, pos + 8
+
+
 class MP4VLogger:
-    """YAML per-box logs mirroring vlogging_iamfmp4_sr.c writers."""
+    """YAML per-box logs byte-identical to vlogging_iamfmp4_sr.c."""
 
     def __init__(self, f: TextIO):
         self.f = f
-        self._count = 0
+        self.count = 0
 
-    def _emit(self, name: str, fields: dict) -> None:
-        self.f.write(f"#{self._count}\n{name}:\n")
-        for k, v in fields.items():
-            if isinstance(v, (list, tuple)):
-                self.f.write(f"  {k}: [{', '.join(str(x) for x in v)}]\n")
-            else:
-                self.f.write(f"  {k}: {v}\n")
-        self.f.write("---\n")
-        self._count += 1
+    def _entry(self, name: str, addr: int, lines) -> None:
+        self.f.write(f"#1\n{name}_{addr:016x}:\n")
+        for ln in lines:
+            self.f.write(f"- {ln}\n")
+        self.f.write("##\n")
+        self.count += 1
 
     def log(self, data: bytes) -> int:
         self._walk(data, 0, len(data))
-        return self._count
+        return self.count
 
     def _walk(self, data, start, end):
         for btype, body, bend in iter_boxes(data, start, end):
@@ -91,99 +151,276 @@ class MP4VLogger:
             if btype in _CONTAINERS:
                 self._walk(data, body, bend)
 
+    def _version_flags(self, d, b):
+        val = _u(d, b, 4)
+        return (val >> 24) & 0xFF, val & 0xFFFFFF
+
+    def _matrix(self, d, off):
+        return " ".join(f"0x{_u(d, off + 4 * x, 4):08x}" for x in range(9))
+
     def _box(self, d, t, b, e):
+        addr = b - 8
+        name = t.decode("latin1")
         if t == b"ftyp":
-            brands = [d[i:i + 4].decode("latin1") for i in range(b + 8, e, 4)]
-            self._emit("ftyp", {
-                "major_brand": d[b:b + 4].decode("latin1"),
-                "minor_version": _u(d, b + 4, 4),
-                "compatible_brands": brands,
-            })
+            # queue_rstring: compatible brands concatenated, NUL/size bound
+            brands = bytes(d[b + 8:e]).split(b"\0")[0].decode("latin1")
+            self._entry(name, addr, [
+                f"MajorBrands: {bytes(d[b:b + 4]).decode('latin1')}",
+                f"Version: {_u(d, b + 4, 4)}",
+                f"CompatibleBrands: {brands}",
+            ])
+        elif t in (b"moov", b"trak", b"stbl", b"edts", b"moof", b"traf"):
+            self._entry(name, addr, [])
         elif t == b"mvhd":
-            ver = d[b]
-            off = b + 4 + (16 if ver else 8)
-            self._emit("mvhd", {
-                "version": ver,
-                "timescale": _u(d, off, 4),
-                "duration": _u(d, off + 4, 8 if ver else 4),
-            })
+            ver, flags = self._version_flags(d, b)
+            self._entry(name, addr, [
+                f"Version: {ver}", f"Flags: {flags}",
+                f"CreationTime: {_utc(_u(d, b + 4, 4))}",
+                f"ModificationTime: {_utc(_u(d, b + 8, 4))}",
+                f"TimeScale: {_u(d, b + 12, 4)}",
+                f"Duration: {_u(d, b + 16, 4)}",
+                f"PreferedRate: {_u(d, b + 20, 4)}",
+                f"PreferedVolume: {_u(d, b + 24, 2)}",
+                f"Reserved1: {_u(d, b + 26, 2)}",
+                f"Reserved2: {_u(d, b + 28, 4)}",
+                f"Reserved3: {_u(d, b + 32, 4)}",
+                f"MatrixStructure: {self._matrix(d, b + 36)}",
+                f"PreviewTime: {_u(d, b + 72, 4)}",
+                f"PreviewDuration: {_u(d, b + 76, 4)}",
+                f"PosterTime: {_u(d, b + 80, 4)}",
+                f"SelectionTime: {_u(d, b + 84, 4)}",
+                f"SelectionDuration: {_u(d, b + 88, 4)}",
+                f"CurrentTime: {_u(d, b + 92, 4)}",
+                f"NextTrackID: {_u(d, b + 96, 4)}",
+            ])
+        elif t == b"tkhd":
+            ver, flags = self._version_flags(d, b)
+            self._entry(name, addr, [
+                f"Version: {ver}", f"Flags: {flags}",
+                f"CreationTime: {_utc(_u(d, b + 4, 4))}",
+                f"ModificationTime: {_utc(_u(d, b + 8, 4))}",
+                f"TrackID: {_u(d, b + 12, 4)}",
+                f"Reserved1: {_u(d, b + 16, 4)}",
+                f"Duration: {_u(d, b + 20, 4)}",
+                f"Reserved2: {_u(d, b + 24, 4)}",
+                f"Reserved3: {_u(d, b + 28, 4)}",
+                f"Layer: {_u(d, b + 32, 2)}",
+                f"AlternativeGroup: {_u(d, b + 34, 2)}",
+                f"Volume: {_u(d, b + 36, 2)}",
+                f"Reserved4: {_u(d, b + 38, 2)}",
+                f"MatrixStructure: {self._matrix(d, b + 40)}",
+                # u16 reads advanced by 4 in the reference (:399-407)
+                f"TrackWidth: {_u(d, b + 76, 2)}",
+                f"TrackHeight: {_u(d, b + 80, 2)}",
+            ])
         elif t == b"mdhd":
-            ver = d[b]
-            off = b + 4 + (16 if ver else 8)
-            self._emit("mdhd", {
-                "version": ver,
-                "timescale": _u(d, off, 4),
-                "duration": _u(d, off + 4, 8 if ver else 4),
-            })
+            ver, flags = self._version_flags(d, b)
+            self._entry(name, addr, [
+                f"Version: {ver}", f"Flags: {flags}",
+                f"CreationTime: {_utc(_u(d, b + 4, 4))}",
+                f"ModificationTime: {_utc(_u(d, b + 8, 4))}",
+                f"TimeScale: {_u(d, b + 12, 4)}",
+                f"Duration: {_u(d, b + 16, 4)}",
+                f"Language: {_u(d, b + 20, 2)}",
+                f"Quality: {_u(d, b + 22, 2)}",
+            ])
         elif t == b"hdlr":
-            self._emit("hdlr", {
-                "handler_type": d[b + 8:b + 12].decode("latin1"),
-            })
+            ver, flags = self._version_flags(d, b)
+            nm = bytes(d[b + 24:e]).split(b"\0")[0].decode("latin1")
+            self._entry(name, addr, [
+                f"Version: {ver}", f"Flags: {flags}",
+                f"PreDefined: {_u(d, b + 4, 4)}",
+                f"ComponentSubtype: {_u(d, b + 8, 4)}",
+                f"Reserved1: {_u(d, b + 12, 4)}",
+                f"Reserved2: {_u(d, b + 16, 4)}",
+                f"Reserved3: {_u(d, b + 20, 4)}",
+                f'Name: "{nm}"',
+            ])
         elif t == b"elst":
-            ver = d[b]
+            ver, flags = self._version_flags(d, b)
             cnt = _u(d, b + 4, 4)
-            entries = []
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"EntryCount: {cnt}"]
             off = b + 8
-            for _ in range(cnt):
-                if ver:
-                    dur, mt = _u(d, off, 8), _u(d, off + 8, 8)
-                    off += 20
+            for i in range(cnt):
+                if ver == 1:
+                    lines.append(f"SegmentDuration_{i}: {_s(d, off, 8)}")
+                    lines.append(f"MediaTime_{i}: {_s(d, off + 8, 8)}")
+                    off += 16
                 else:
-                    dur, mt = _u(d, off, 4), _u(d, off + 4, 4)
-                    off += 12
-                entries.append(f"(dur={dur} media_time={mt})")
-            self._emit("elst", {"entry_count": cnt, "entries": entries})
+                    lines.append(f"SegmentDuration_{i}: {_u(d, off, 4)}")
+                    lines.append(f"MediaTime_{i}: {_u(d, off + 4, 4)}")
+                    off += 8
+                lines.append(f"MediaRateInteger_{i}: {_u(d, off, 2)}")
+                lines.append(f"MediaRateFraction_{i}: {_u(d, off + 2, 2)}")
+                off += 4
+            self._entry(name, addr, lines)
         elif t == b"stsd":
-            cnt = _u(d, b + 4, 4)
-            fmt = d[b + 12:b + 16].decode("latin1") if e - b >= 16 else "?"
-            fields = {"entry_count": cnt, "format": fmt}
-            if fmt == "iamf":
-                # IAMFSampleEntry: AudioSampleEntry then iacb config box
-                # (mp4demux.c:512 mov_read_iamf)
-                se = b + 8
-                fields["channelcount"] = _u(d, se + 8 + 16, 2)
-                fields["samplerate"] = _u(d, se + 8 + 24, 4) >> 16
-                for bt2, b2, e2 in iter_boxes(d, se + 44, e):
-                    if bt2 == b"iacb":
-                        fields["configurationVersion"] = d[b2]
-                        fields["configOBUs_size"] = e2 - b2 - 1
-            self._emit("stsd", fields)
+            ver, flags = self._version_flags(d, b)
+            self._entry(name, addr, [
+                f"Version: {ver}", f"Flags: {flags}",
+                f"EntryCount: {_u(d, b + 4, 4)}",
+            ])
+            # the demuxer vlogs the iamf sample entry as its own box
+            for bt2, b2, e2 in iter_boxes(d, b + 8, e):
+                if bt2 == b"iamf":
+                    self._iamf_entry(d, b2, e2)
         elif t == b"stts":
+            ver, flags = self._version_flags(d, b)
             cnt = _u(d, b + 4, 4)
-            entries = [
-                f"(count={_u(d, b + 8 + i * 8, 4)}"
-                f" delta={_u(d, b + 12 + i * 8, 4)})"
-                for i in range(min(cnt, 8))
-            ]
-            self._emit("stts", {"entry_count": cnt, "entries": entries})
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"EntryCount: {cnt}"]
+            for i in range(cnt):
+                lines.append(f"SampleCount_{i}: {_u(d, b + 8 + 8 * i, 4)}")
+                lines.append(f"SampleDelta_{i}: {_u(d, b + 12 + 8 * i, 4)}")
+            self._entry(name, addr, lines)
         elif t == b"stsc":
-            self._emit("stsc", {"entry_count": _u(d, b + 4, 4)})
+            ver, flags = self._version_flags(d, b)
+            cnt = _u(d, b + 4, 4)
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"EntryCount: {cnt}"]
+            for i in range(cnt):
+                o = b + 8 + 12 * i
+                lines.append(f"FirstChunk_{i}: {_u(d, o, 4)}")
+                lines.append(f"SamplePerChunk_{i}: {_u(d, o + 4, 4)}")
+                lines.append(f"SampleDescriptionIndex_{i}: {_u(d, o + 8, 4)}")
+            self._entry(name, addr, lines)
         elif t == b"stsz":
-            self._emit("stsz", {
-                "sample_size": _u(d, b + 4, 4),
-                "sample_count": _u(d, b + 8, 4),
-            })
-        elif t in (b"stco", b"co64"):
-            self._emit(t.decode(), {"entry_count": _u(d, b + 4, 4)})
+            ver, flags = self._version_flags(d, b)
+            ssize = _u(d, b + 4, 4)
+            cnt = _u(d, b + 8, 4)
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"SampleSize: {ssize}", f"SampleCount: {cnt}"]
+            if ssize == 0:
+                for i in range(cnt):
+                    lines.append(f"EntrySize_{i}: {_u(d, b + 12 + 4 * i, 4)}")
+            self._entry(name, addr, lines)
+        elif t == b"stco":
+            ver, flags = self._version_flags(d, b)
+            cnt = _u(d, b + 4, 4)
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"EntryCount: {cnt}"]
+            for i in range(cnt):
+                lines.append(f"ChunkOffset_{i}: {_u(d, b + 8 + 4 * i, 4)}")
+            self._entry(name, addr, lines)
         elif t == b"sgpd":
-            # roll-distance sample group (mp4demux.c:88 mov_read_sgpd)
-            gt = d[b + 4:b + 8].decode("latin1")
-            fields = {"grouping_type": gt}
-            if gt == "roll":
-                cnt = _u(d, b + 12, 4)
-                fields["entry_count"] = cnt
-                if cnt:
-                    fields["roll_distance"] = struct.unpack(
-                        ">h", d[b + 16:b + 18])[0]
-            self._emit("sgpd", fields)
+            ver, flags = self._version_flags(d, b)
+            lines = [f"Version: {ver}", f"Flags: {flags}"]
+            off = b + 4
+            lines.append(f"GroupingType: {_u(d, off, 4)}")
+            off += 4
+            default_length = 0
+            if ver >= 1:
+                default_length = _u(d, off, 4)
+                lines.append(f"DefaultLength: {default_length}")
+                off += 4
+            if ver >= 2:
+                lines.append(
+                    f"DefaultGroupDescriptionIndex: {_u(d, off, 4)}")
+                off += 4
+            cnt = _u(d, off, 4)
+            lines.append(f"EntryCount: {cnt}")
+            off += 4
+            for i in range(cnt):
+                if ver >= 1:
+                    if default_length == 0:
+                        lines.append(
+                            f"DescriptionLength_{i}: {_u(d, off, 4)}")
+                        off += 4
+                    elif default_length == 1:
+                        lines.append(f"GroupingEntryVal_{i}: {_s(d, off, 1)}")
+                        off += 1
+                    elif default_length == 2:
+                        lines.append(f"GroupingEntryVal_{i}: {_s(d, off, 2)}")
+                        off += 2
+                    elif default_length == 4:
+                        lines.append(f"GroupingEntryVal_{i}: {_s(d, off, 4)}")
+                        off += 4
+            self._entry(name, addr, lines)
         elif t == b"tfhd":
-            self._emit("tfhd", {"track_ID": _u(d, b + 4, 4)})
+            ver, flags = self._version_flags(d, b)
+            # reference prints TrackID masked to 24 bits (:458)
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"TrackID: {_u(d, b + 4, 4) & 0xFFFFFF}"]
+            off = b + 8
+            if flags & 0x01:
+                off += 8  # BaseDataOffset (malformed %0x08x in reference)
+            if flags & 0x02:
+                lines.append(f"SampleDescriptionIndex: {_u(d, off, 4)}")
+                off += 4
+            if flags & 0x08:
+                lines.append(f"DefaultSampleDuration: {_u(d, off, 4)}")
+                off += 4
+            if flags & 0x10:
+                lines.append(f"DefaultSampleSize: {_u(d, off, 4)}")
+                off += 4
+            if flags & 0x20:
+                lines.append(f"DefaultSampleFlag: {_u(d, off, 4)}")
+                off += 4
+            self._entry(name, addr, lines)
         elif t == b"trun":
-            self._emit("trun", {"sample_count": _u(d, b + 4, 4)})
-        elif t in _CONTAINERS or t in (b"mdat", b"free", b"skip"):
-            self._emit(t.decode("latin1"), {"size": e - b + 8})
+            ver, flags = self._version_flags(d, b)
+            cnt = _u(d, b + 4, 4)
+            lines = [f"Version: {ver}", f"Flags: {flags}",
+                     f"SampleCount: {cnt}"]
+            off = b + 8
+            if flags & 0x1:
+                lines.append(f"DataOffset: {_u(d, off, 4)}")
+                off += 4
+            if flags & 0x4:
+                lines.append(f"FirstSampleFlags: {_u(d, off, 4)}")
+                off += 4
+            for i in range(cnt):
+                if flags & 0x100:
+                    lines.append(f"SampleDuration_{i}: {_u(d, off, 4)}")
+                    off += 4
+                if flags & 0x200:
+                    lines.append(f"SampleSize_{i}: {_u(d, off, 4)}")
+                    off += 4
+                if flags & 0x400:
+                    lines.append(f"SampleFlags_{i}: {_u(d, off, 4)}")
+                    off += 4
+                if flags & 0x800:
+                    lines.append(
+                        f"SampleCompositionTimeOffset_{i}: {_u(d, off, 4)}")
+                    off += 4
+            self._entry(name, addr, lines)
+
+    def _iamf_entry(self, d, b, e):
+        """IAMF sample entry (write_iamf_atom_log :1156-1301): the 28-byte
+        AudioSampleEntry fields, then the codec-config OBU from the inline
+        configOBUs description."""
+        lines = [
+            f"Reserved1: {_u(d, b, 4)}",
+            f"Reserved2: {_u(d, b + 4, 2)}",
+            f"DataReferenceIndex: {_u(d, b + 6, 2)}",
+            f"Reserved3: {_u(d, b + 8, 4)}",
+            f"Reserved4: {_u(d, b + 12, 4)}",
+            f"ChannelCount: {_u(d, b + 16, 2)}",
+            f"SampleSize: {_u(d, b + 18, 2)}",
+            f"Predefined: {_u(d, b + 20, 2)}",
+            f"Reserved5: {_u(d, b + 22, 2)}",
+            f"SampleRate: {_u(d, b + 24, 4) >> 16}",
+        ]
+        pos = b + 28
+        while pos < e:
+            hdr = _read_obu_header(d, pos, e)
+            if hdr is None:
+                break
+            obu_type, payload, nxt = hdr
+            if obu_type == 0:  # codec config
+                ccid, p = _leb128(d, payload)
+                lines.append(f"codec_config_id: {ccid}")
+                fourcc = bytes(d[p:p + 4])
+                if fourcc in (b"Opus", b"mp4a", b"fLaC", b"ipcm"):
+                    lines.append(f"codec_id: {fourcc.decode('latin1')}")
+                nspf, p2 = _leb128(d, p + 4)
+                lines.append(f"num_samples_per_frame: {nspf}")
+                lines.append(f"audio_roll_distance: {_s(d, p2, 2)}")
+            pos = nxt
+        self._entry("iamf", b - 8, lines)
 
 
 def vlog_mp4(data: bytes, out: TextIO) -> int:
-    """Log every recognized box; returns the log entry count."""
+    """Log every box the reference demuxer vlogs; returns the entry count."""
     return MP4VLogger(out).log(data)

@@ -144,16 +144,28 @@ def main(argv=None) -> int:
         with open(args.input, "rb") as f:
             raw = f.read()
         if args.i == 1:
-            # mp4 input: box-level YAML log + descriptor OBU log
-            # (vlogging_iamfmp4_sr.c + vlogging_tool_sr.c in the verifier)
+            # mp4 input: box-level YAML log, then the OBU log over the
+            # descriptors AND every packet's OBUs — the reference verifier
+            # logs both streams into one file, mp4 boxes first
+            # (vlogging_iamfmp4_sr.c + vlogging_tool_sr.c, print order
+            # LOG_MP4BOX before LOG_OBU, vlogging_tool_sr.c:115)
             from ..mp4.atoms import vlog_mp4
             from ..mp4.iamf_track import MP4IAMFParser
-            from .vlogger import vlog_stream
+            from ..obu import parser as obu_parser
+            from .vlogger import VLogger
 
+            mp4 = MP4IAMFParser(args.input)
             with open(args.v, "w") as out:
                 n = vlog_mp4(raw, out)
-                n += vlog_stream(MP4IAMFParser(args.input).descriptors, out)
-            print(f"vlogged {n} mp4 boxes + descriptor OBUs -> {args.v}")
+                v = VLogger(out)
+                for obu in obu_parser.iter_obus(
+                        memoryview(mp4.descriptors)):
+                    v.log_obu(obu)
+                for packet, new_desc in mp4.packets():
+                    for obu in obu_parser.iter_obus(memoryview(packet)):
+                        v.log_obu(obu)
+                n += v._count
+            print(f"vlogged {n} mp4 boxes + OBUs -> {args.v}")
         else:
             from .vlogger import vlog_stream
 

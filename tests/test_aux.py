@@ -56,11 +56,14 @@ def test_vlogger_yaml():
     n = vlog_stream(stream, out)
     text = out.getvalue()
     assert n > 5
-    assert "ia_sequence_header_obu" in text
-    assert "codec_config_obu" in text
-    assert "audio_element_obu" in text
-    assert "mix_presentation_obu" in text
-    assert "audio_frame_obu" in text
+    # reference verifier naming (vlogging_tool_sr.c writers); the full
+    # byte-identical diff vs a SUPPORT_VERIFIER build is
+    # test_vlogger_diff.py
+    assert "IaSequenceHeaderOBU_0" in text
+    assert "CodecConfigOBU_" in text
+    assert "AudioElementOBU_" in text
+    assert "MixPresentationOBU_" in text
+    assert "AudioFrameOBU_" in text
     assert "scalable_channel_layout_config" in text
 
 

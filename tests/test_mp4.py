@@ -105,6 +105,7 @@ def test_atom_dump_and_mp4_vlogger(tmp_path):
     out = io.StringIO()
     n = vlog_mp4(mp4, out)
     text = out.getvalue()
-    assert "format: iamf" in text
-    assert "samplerate" in text
+    # reference verifier naming; byte-identical diff in test_vlogger_diff.py
+    assert "iamf_" in text and "codec_id: ipcm" in text
+    assert "SampleRate: 48000" in text
     assert "stts" in text and "stsz" in text
