@@ -147,6 +147,10 @@ class AACDecoder(CodecDecoder):
                     raise ValueError("bad AAC config")
                 self._decoders.append((h, ch))
         self.delay = 0  # AAC-LC RAW carries no codec delay of its own
+        # error/loss concealment (the reference's fdk AAC_CONCEAL_METHOD=1
+        # analogue): energy-fade repeat of the last good frame
+        self._conceal = os.environ.get("IAMF_AAC_CONCEAL", "1") != "0"
+        self._plc: dict = {}
 
     def __del__(self):
         if getattr(self, "backend", None) != "fdk":
@@ -176,18 +180,32 @@ class AACDecoder(CodecDecoder):
         lib = _load_native()
         for i, (h, ch) in enumerate(self._decoders):
             pkt = packets[i]
-            if pkt is None:
-                raise ValueError("missing aac sub packet")
             buf = np.zeros(self.frame_size * ch, np.float32)
-            r = lib.iamf_aac_decode(
-                h, bytes(pkt), len(pkt),
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            r = -1
+            if pkt is not None:
+                r = lib.iamf_aac_decode(
+                    h, bytes(pkt), len(pkt),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
             if r < 0:
-                raise ValueError(f"aac decode failed ({r})")
+                # lost/corrupt access unit: energy-fade concealment of the
+                # last good frame (the reference sets fdk's
+                # AAC_CONCEAL_METHOD=1 for the same situation,
+                # aac_multistream_decoder.c:204-224)
+                if pkt is not None and not self._conceal:
+                    raise ValueError(f"aac decode failed ({r})")
+                last, gain = self._plc.get(i, (None, 1.0))
+                gain *= 0.5
+                y = (last * np.float32(gain) if last is not None
+                     else np.zeros((ch, self.frame_size), np.float32))
+                self._plc[i] = (last, gain)
+                outs.append(y)
+                continue
             # match the reference wrapper's s16 -> float conversion,
             # including its round-to-int quantization
             s16 = np.clip(np.rint(buf), -32768, 32767)
-            outs.append((s16.astype(np.float32) / 32768.0).reshape(ch, -1))
+            y = (s16.astype(np.float32) / 32768.0).reshape(ch, -1)
+            self._plc[i] = (y, 1.0)
+            outs.append(y)
         return np.concatenate(outs, axis=0)
 
     def decode_spectrum_batch(self, frames):

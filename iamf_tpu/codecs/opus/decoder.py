@@ -129,13 +129,23 @@ class OpusDecoder(CodecDecoder):
         samples = None
         for i, (ptr, ch) in enumerate(self._decoders):
             pkt = packets[i]
-            if pkt is None:
-                raise ValueError("missing opus sub packet")
             buf = np.zeros(self._max * ch, dtype=np.float32)
-            r = lib.iamf_opus_decode_float(
-                ptr, bytes(pkt), len(pkt),
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), self._max,
-            )
+            if pkt is None:
+                # lost packet: native energy-fade concealment (repeat the
+                # last frame at -6 dB/loss; the framework analogue of the
+                # reference's AAC_CONCEAL_METHOD=1 fade,
+                # aac_multistream_decoder.c:224)
+                r = lib.iamf_opus_decode_float(
+                    ptr, None, 0,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    self._max,
+                )
+            else:
+                r = lib.iamf_opus_decode_float(
+                    ptr, bytes(pkt), len(pkt),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    self._max,
+                )
             if r < 0:
                 raise ValueError(f"opus decode failed ({r})")
             outs.append(buf[: r * ch].reshape(r, ch).T)  # planar

@@ -12,6 +12,7 @@
 #include <cstring>
 
 #include "celt.h"
+#include "celt_tables.h"
 #include "silk.h"
 
 using namespace iamf_opus;
@@ -22,8 +23,16 @@ struct OpusDec {
   CeltDecoder celt;
   iamf_silk::SilkDecoder silk;
   int channels;
-  int prev_mode = -1;  // 0 silk, 1 hybrid, 2 celt
+  int prev_mode = -1;       // 0 silk, 1 hybrid, 2 celt
+  int prev_redundancy = 0;  // last packet carried trailing (silk->celt)
+                            // redundancy that primed the celt state
   float softclip_mem[2];
+  // packet-loss concealment state: last decoded frame + decay factor
+  // (energy-fade concealment analogous to the reference's
+  // AAC_CONCEAL_METHOD=1 fade behavior, aac_multistream_decoder.c:224)
+  float last_frame[2 * 2880];
+  int last_samples = 0;
+  float plc_gain = 1.f;
 };
 
 // Soft-clipping to +/-1 applied before s16 conversion (RFC 6716 decoder
@@ -120,6 +129,10 @@ int parse_packet(const unsigned char* data, int len, PacketInfo* pi) {
   if (config >= 16) {
     pi->mode = 2;
     pi->frame_size = celt_sizes[config & 3];
+    // end band per CELT bandwidth group (opus_decoder.c endband switch):
+    // NB 13 / WB 17 / SWB 19 / FB 21
+    static const int celt_end[4] = {13, 17, 19, 21};
+    pi->end_band = celt_end[(config - 16) >> 2];
   } else if (config >= 12) {
     pi->mode = 1;
     pi->frame_size = (config & 1) ? 960 : 480;
@@ -129,6 +142,9 @@ int parse_packet(const unsigned char* data, int len, PacketInfo* pi) {
     static const int silk_sizes[4] = {480, 960, 1920, 2880};
     pi->frame_size = silk_sizes[config % 4];
     pi->silk_khz = config < 4 ? 8 : (config < 8 ? 12 : 16);
+    // CELT end band per packet bandwidth (opus_decoder.c endband switch:
+    // NB 13 / MB+WB 17) — governs the transition-redundancy decode
+    pi->end_band = config < 4 ? 13 : 17;
   }
 
   const unsigned char* p = data + 1;
@@ -223,6 +239,18 @@ void iamf_opus_decoder_destroy(void* p) { delete (OpusDec*)p; }
 int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
                            float* out, int max_samples) {
   OpusDec* d = (OpusDec*)ptr;
+  if (data == nullptr || len == 0) {
+    // packet loss: energy-fade concealment — repeat the last decoded
+    // frame with a 6 dB/frame decay (the framework analogue of the
+    // reference's fdk AAC_CONCEAL_METHOD=1 fade-out; libopus-exact PLC
+    // is out of scope for file decode, where packets are never lost)
+    int n = d->last_samples > 0 ? d->last_samples : 960;
+    if (n > max_samples) return -2;
+    d->plc_gain *= 0.5f;
+    for (int i = 0; i < n * d->channels; ++i)
+      out[i] = d->last_frame[i] * d->plc_gain;
+    return n;
+  }
   PacketInfo pi;
   if (parse_packet(data, len, &pi) < 0) return -4;
   int pkt_ch = pi.stereo ? 2 : 1;
@@ -231,10 +259,9 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
     // with the exact channel count)
     d->celt.stream_channels = pkt_ch;
   }
-  // state resets on mode transitions (opus_decoder.c semantics)
+  // state resets on mode transitions (opus_decoder.c semantics); the
+  // celt reset happens per frame below, gated on prev_redundancy
   if ((pi.mode == 0 || pi.mode == 1) && d->prev_mode == 2) d->silk.reset();
-  if (pi.mode != 0 && d->prev_mode >= 0 && d->prev_mode != pi.mode)
-    d->celt.init(d->channels);
   int total = 0;
   for (int f = 0; f < pi.nb_frames; ++f) {
     if (total + pi.frame_size > max_samples) return -2;
@@ -242,10 +269,18 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
     EntDec dec;
     dec.init(pi.frames[f], (uint32_t)pi.sizes[f]);
     if (pi.mode == 2) {
-      int ret = celt_decode_frame(&d->celt, pi.frames[f], pi.sizes[f],
-                                  pcm_out, pi.frame_size, &dec);
+      // discard previous celt state on a mode change UNLESS the previous
+      // packet's trailing redundancy frame already primed it
+      // (opus_decoder.c: reset when prev_mode differs && !prev_redundancy)
+      if (d->prev_mode >= 0 && d->prev_mode != 2 && !d->prev_redundancy)
+        d->celt.init(d->channels);
+      int ret = celt_decode_frame_bands(&d->celt, pi.frames[f], pi.sizes[f],
+                                        pcm_out, pi.frame_size, &dec, 0,
+                                        pi.end_band);
       if (ret < 0) return ret;
       total += ret;
+      d->prev_mode = 2;
+      d->prev_redundancy = 0;
       continue;
     }
     // SILK / hybrid: LP layer from the shared range decoder
@@ -258,8 +293,10 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
     for (int i = 0; i < done * d->channels; ++i)
       pcm_out[i] = silk_buf[i] * (1.f / 32768.f);
     // redundancy signalling (RFC 6716 §4.4 transition side information):
-    // parsed for bitstream conformance; the redundant 5 ms CELT frame is
-    // only used to smooth mode transitions and is not blended here.
+    // a redundant 5 ms CELT frame at the end of the payload smooths mode
+    // transitions (celt_to_silk covers THIS frame's start after a CELT
+    // packet; otherwise it primes the NEXT CELT packet and fades this
+    // frame's tail) — blended exactly as opus_decoder.c does
     int redundancy = 0, redundancy_bytes = 0, celt_to_silk = 0;
     if (dec.tell() + 17 + 20 * (pi.mode == 1) <= 8 * pi.sizes[f]) {
       redundancy = pi.mode == 1 ? dec.bit_logp(12) : 1;
@@ -270,12 +307,36 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
                                : pi.sizes[f] - ((dec.tell() + 7) >> 3);
         if (redundancy_bytes < 0 || redundancy_bytes > pi.sizes[f])
           return -3;
+        // the hybrid celt layer reads its PVQ raw bits from the END of
+        // the range-coder buffer: shrink the shared decoder so those
+        // reads stop before the redundancy bytes (opus_decoder.c
+        // "dec.storage -= redundancy_bytes")
+        dec.storage -= (uint32_t)redundancy_bytes;
       }
     }
-    (void)celt_to_silk;
+    const int F2_5 = 120, F5 = 240;  // 2.5 / 5 ms at 48 kHz
+    int celt_len = pi.sizes[f] - redundancy_bytes;
+    const unsigned char* red_data = pi.frames[f] + celt_len;
+    float redundant_audio[2 * F5];
+    int have_red_start = 0;
+    if (redundancy && celt_to_silk) {
+      // CELT -> SILK: redundancy covers this frame's first 5 ms; decoded
+      // CONTINUING the previous packet's celt state (no reset — its IMDCT
+      // overlap tail must flow into the redundant frame's first samples;
+      // opus_decoder.c resets only in the silk->celt branch)
+      EntDec rdec;
+      rdec.init(red_data, (uint32_t)redundancy_bytes);
+      int r = celt_decode_frame_bands(&d->celt, red_data, redundancy_bytes,
+                                      redundant_audio, F5, &rdec, 0,
+                                      pi.end_band);
+      have_red_start = (r == F5);
+    }
     if (pi.mode == 1) {
-      // hybrid: CELT bands 17..end from the same range decoder
-      int celt_len = pi.sizes[f] - redundancy_bytes;
+      // hybrid: CELT bands 17..end from the same range decoder; with a
+      // celt_to_silk redundancy frame just decoded, the layer CONTINUES
+      // that state (its energies seed the band-17+ prediction) — no reset
+      if (d->prev_mode >= 0 && d->prev_mode != 1 && !d->prev_redundancy)
+        d->celt.init(d->channels);
       float celt_pcm[2 * 960];
       int ret = celt_decode_frame_bands(&d->celt, pi.frames[f], celt_len,
                                         celt_pcm, pi.frame_size, &dec, 17,
@@ -283,9 +344,49 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
       if (ret < 0) return ret;
       for (int i = 0; i < ret * d->channels; ++i) pcm_out[i] += celt_pcm[i];
     }
+    if (redundancy && !celt_to_silk) {
+      // SILK -> CELT: the redundancy primes the celt state for the next
+      // packet; crossfade this frame's tail into its second half
+      d->celt.init(d->channels);
+      EntDec rdec;
+      rdec.init(red_data, (uint32_t)redundancy_bytes);
+      int r = celt_decode_frame_bands(&d->celt, red_data, redundancy_bytes,
+                                      redundant_audio, F5, &rdec, 0,
+                                      pi.end_band);
+      if (r == F5) {
+        float* tail = pcm_out + (size_t)(pi.frame_size - F2_5) * d->channels;
+        for (int i = 0; i < F2_5; ++i) {
+          float w = window120[i] * window120[i];
+          for (int c = 0; c < d->channels; ++c)
+            tail[i * d->channels + c] =
+                w * redundant_audio[(F2_5 + i) * d->channels + c] +
+                (1.f - w) * tail[i * d->channels + c];
+        }
+      }
+    }
+    if (have_red_start) {
+      // replace the first 2.5 ms with the redundant frame, crossfade the
+      // next 2.5 ms from redundancy into this frame's audio
+      for (int i = 0; i < F2_5 * d->channels; ++i)
+        pcm_out[i] = redundant_audio[i];
+      for (int i = 0; i < F2_5; ++i) {
+        float w = window120[i] * window120[i];
+        for (int c = 0; c < d->channels; ++c) {
+          int k = (F2_5 + i) * d->channels + c;
+          pcm_out[k] = w * pcm_out[k] + (1.f - w) * redundant_audio[k];
+        }
+      }
+    }
     total += pi.frame_size;
+    d->prev_mode = pi.mode;
+    d->prev_redundancy = redundancy && !celt_to_silk;
   }
-  d->prev_mode = pi.mode;
+  // remember the last decoded frame for packet-loss concealment
+  if (total > 0 && total <= 2880) {
+    memcpy(d->last_frame, out, sizeof(float) * total * d->channels);
+    d->last_samples = total;
+    d->plc_gain = 1.f;
+  }
   // match reference: soft clip + s16 quantize + scale back
   // (the reference wrapper uses the opus s16 decode API,
   // IAMF_opus_decoder.c:130-136, which soft-clips in the float build)

@@ -161,3 +161,41 @@ def test_44100_sampling_rate():
     ref = _decode_fdk(enc.asc, aus, 1)
     snr = _snr_after_shift(ours, ref)
     assert snr > 70.0, f"SNR {snr:.1f} dB"
+
+
+def test_aac_concealment():
+    """Lost or corrupt access unit: energy-fade concealment instead of an
+    exception (fdk AAC_CONCEAL_METHOD=1 analogue, the reference enables it
+    at aac_multistream_decoder.c:204-224)."""
+    import numpy as np
+    import vectors
+    from iamf_tpu.constants import ChannelLayout
+    from iamf_tpu.codecs.aac.decoder import AACDecoder
+    from iamf_tpu.codecs.aac.fdk import FdkEncoder  # noqa: F401 (skip probe)
+
+    try:
+        stream, _, aus = vectors.build_aac_layout_stream(
+            ChannelLayout.STEREO, n_frames=5)
+    except Exception as e:
+        import pytest
+
+        pytest.skip(f"aac encoder unavailable: {e}")
+    from iamf_tpu.obu import parser
+    from iamf_tpu.core.database import Database
+
+    off = parser.find_sequence_header(stream)
+    cc = None
+    for obu in parser.iter_obus(memoryview(stream)[off:]):
+        if obu.type == 0:
+            cc = parser.parse_codec_config(obu)
+            break
+    dec = AACDecoder(cc.decoder_conf, 1, 1, 1024)
+    y0 = dec.decode([aus[0][0]])
+    y1 = dec.decode([aus[0][1]])
+    lost = dec.decode([None])  # lost packet
+    assert lost.shape == y1.shape
+    assert np.allclose(lost, y1 * 0.5, atol=1e-6)  # -6 dB repeat
+    lost2 = dec.decode([None])
+    assert np.allclose(lost2, y1 * 0.25, atol=1e-6)  # keeps decaying
+    y3 = dec.decode([aus[0][3]])  # recovery
+    assert np.abs(y3).max() > 0
