@@ -163,12 +163,11 @@ class BatchedStreamDecoder:
         self.mix_presentation = mp
         sub = mp.sub_mixes[0]
         out_ch = self.layout.channels
-        # rate mismatch => host resample of the device float mix before
-        # normalization/limiter (iamf_stream_resampler_open
-        # IAMF_decoder.c:3193-3199; iamf_resample :3223-3248). The device
-        # program then emits float and skips the limiter; the host tail
-        # (resample -> normalize -> limit -> quantize) mirrors the serial
-        # api decoder exactly.
+        # rate mismatch => the device program emits the float mix, the
+        # DEVICE resampler (dsp.resample.DeviceResampler) converts it to
+        # 48 kHz, and the host tail normalizes/limits/quantizes in the
+        # serial decoder's order (iamf_stream_resampler_open
+        # IAMF_decoder.c:3193-3199; iamf_resample :3223-3248).
         self.stream_rate = int(codec_config_sampling_rate(
             self.db.elements[sub.elements[0].element_id].codec_config))
         self.needs_resample = self.stream_rate != 48000
@@ -505,40 +504,46 @@ class BatchedStreamDecoder:
         return np.concatenate(
             [d["spec"].astype(np.float32), packed], axis=-1), None
 
-    def _host_resample_tail(self, full: np.ndarray) -> np.ndarray:
-        """Rate-mismatch output stage: resample the fetched device float mix
-        to 48 kHz, then normalize, limit, and quantize on the host — the
-        same streaming objects and order as the serial api decoder
-        (iamf_resample IAMF_decoder.c:3223-3248 -> loudness :3480 ->
-        limiter :3487; flush drain :3250-3301)."""
+    def _resample_tail(self, full) -> np.ndarray:
+        """Rate-mismatch output stage: resample the device float mix to
+        48 kHz ON DEVICE (dsp.resample.DeviceResampler — the polyphase FIR
+        as a gathered-window einsum with overlap-save carry, SURVEY
+        §2.3.6), then normalize, limit, and quantize on the host in the
+        serial decoder's order (iamf_resample IAMF_decoder.c:3223-3248 ->
+        loudness :3480 -> limiter :3487; flush drain :3250-3301).
+
+        full: [rows, C] float32 mix timeline (device array or numpy)."""
+        import jax.numpy as jnp
+
         from ..dsp.limiter import Limiter, LimiterConfig as _LC
         from ..dsp.quantize import quantize_interleave
-        from ..dsp.resample import Resampler
+        from ..dsp.resample import DeviceResampler
 
         T = self.frame_size
         n = self.n_frames
         want = n * T - self.lead - self.tail
-        x = full[self.lead: self.lead + want].T.astype(np.float32)  # [C, N]
+        x = jnp.asarray(full)[self.lead: self.lead + want].T  # [C, N]
         C = x.shape[0]
-        rs = Resampler(channels=C, in_rate=self.stream_rate, out_rate=48000)
-        y = rs.process(x)
+        rs = DeviceResampler(channels=int(C), in_rate=self.stream_rate,
+                             out_rate=48000)
+        y = np.array(rs.resample_stream(x))  # incl. latency drain tail
         if self._norm_gain != 1.0:
-            y = y * np.float32(self._norm_gain)
-        drained = rs.drain()  # latency tail: NOT normalized (api parity)
-        if drained is None:
-            drained = np.zeros((C, 0), np.float32)
+            # api parity: the serial path normalizes process() outputs but
+            # not the drained latency tail — split at the host resampler's
+            # pre-drain output count
+            n_main = -(-(want - rs.host_params.input_latency)
+                       * rs.den // rs.num)
+            y[:, :n_main] *= np.float32(self._norm_gain)
         if not self._want_limiter:
-            out = np.concatenate([y, drained], axis=1)
-            return np.asarray(quantize_interleave(out, self.bits))
+            return np.asarray(quantize_interleave(y, self.bits))
         lim = Limiter(_LC(
-            channels=C,
+            channels=int(C),
             **({"threshold_db": self._peak_threshold_db}
                if self._peak_threshold_db is not None else {}),
         ))
         out = lim.process(y)
-        drain = lim.process(np.concatenate(
-            [drained, np.zeros((C, lim.cfg.delay_size), np.float32)],
-            axis=1))
+        drain = lim.process(
+            np.zeros((int(C), lim.cfg.delay_size), np.float32))
         out = np.concatenate([out, drain], axis=1)
         return np.asarray(quantize_interleave(out, self.bits))
 
@@ -645,7 +650,8 @@ class BatchedStreamDecoder:
         # transfer time. copy_to_host_async() enqueued at dispatch time
         # plus >=8 reader threads roughly doubles effective d2h throughput
         # over threaded np.asarray alone (aggregate ceiling ~50 MB/s).
-        fetch_pool = _cf.ThreadPoolExecutor(8) if fetch else None
+        fetch_pool = _cf.ThreadPoolExecutor(8) if (
+            fetch and not self.needs_resample) else None
         fetch_futs = []
         device_outs = []
         kinds = tuple(
@@ -709,11 +715,14 @@ class BatchedStreamDecoder:
             # device-resident callers get exactly the n_batches stream
             # outputs (same contract as before the pre-limiter trim splice)
             return device_outs[k0:k0 + n_batches]
+        if self.needs_resample:
+            # stay on device through the resampler; only the resampled
+            # (smaller) float mix crosses to the host for the output tail
+            dev = jnp.concatenate(device_outs[k0:], axis=0)
+            return self._resample_tail(dev)
         fetched = [f.result() for f in fetch_futs]
         fetch_pool.shutdown()
         full = np.concatenate(fetched[k0:], axis=0)
-        if self.needs_resample:
-            return self._host_resample_tail(full)
         if self.cfg.limiter is not None:
             # limiter look-ahead: drop the first delay_size rows; the
             # trailing pad batches already pushed zeros through the delay

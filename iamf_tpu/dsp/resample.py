@@ -238,3 +238,105 @@ class Resampler:
         IAMF_decoder.c:3224-3247)."""
         zeros = np.zeros((self.channels, self.input_latency), np.float32)
         return self.process(zeros)
+
+
+class DeviceResampler:
+    """TPU-native streaming resampler: the polyphase FIR as a gathered-
+    window einsum inside a lax.scan, with an overlap-save input carry
+    (SURVEY §2.3.6: "Speex resampler -> polyphase FIR as strided conv with
+    overlap-save").
+
+    Structure: the output grid is affine in the output index j —
+    window-end input position P(j) = N/2 + (num*j)//den with phase
+    (num*j) % den — so a chunk of num*Q input samples always yields
+    exactly den*Q outputs with chunk-invariant local indices/phases.
+    The per-output filter row (direct-mode bank row, or the interpolated
+    table rows pre-mixed with the cubic coefficients) is a host-
+    precomputed [den*Q, N] constant; each scan step gathers [C, den*Q, N]
+    windows from (carry ++ chunk) and contracts against it on device.
+    Matches the host speexdsp-parity Resampler within float accumulation
+    order (<= 1e-6 relative; quantized PCM <= 1 LSB), one compiled
+    program per rate pair.
+    """
+
+    def __init__(self, channels: int, in_rate: int, out_rate: int,
+                 quality: int = 4, target_chunk: int = 8192):
+        import jax
+        import jax.numpy as jnp
+
+        host = Resampler(channels, in_rate, out_rate, quality)
+        self.host_params = host
+        self.channels = channels
+        N = host.filt_len
+        num, den = host.num, host.den
+        self.num, self.den, self.N = num, den, N
+        Q = max(1, target_chunk // num)
+        self.in_chunk = num * Q
+        self.out_chunk = den * Q
+
+        l = np.arange(self.out_chunk)
+        ph = (num * l) % den
+        self.win_start = ((num * l) // den).astype(np.int32)  # [out_chunk]
+        if host.direct:
+            W = host.bank[ph]  # [out_chunk, N]
+        else:
+            offs = (ph * host.oversample // den).astype(np.int64)
+            fr = ((ph * host.oversample) % den).astype(
+                np.float32) / np.float32(den)
+            j = np.arange(N)
+            base = 4 + (j[None, :] + 1) * host.oversample - offs[:, None]
+            c0, c1, c2, c3 = _cubic_coef(fr)
+            t = host.table.astype(np.float64)
+            W = (c0[:, None] * t[base - 2] + c1[:, None] * t[base - 1]
+                 + c2[:, None] * t[base] + c3[:, None] * t[base + 1])
+        self.W = np.asarray(W, np.float32)
+
+        # carry covers the previous chunk plus the filter history the first
+        # output window reaches back into (see window algebra above)
+        self.carry_len = self.in_chunk + N - 1 - N // 2
+
+        win_start = jnp.asarray(self.win_start)
+        Wd = jnp.asarray(self.W)
+        n_in, n_keep = self.in_chunk, self.carry_len
+
+        def step(carry, x_t):
+            buf = jnp.concatenate([carry, x_t], axis=1)
+            idx = win_start[:, None] + jnp.arange(N)[None, :]
+            windows = buf[:, idx]  # [C, out_chunk, N]
+            y = jnp.einsum("cof,of->co", windows, Wd,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = jnp.clip(y, -1.0, 1.0)  # FLTADJUST
+            return buf[:, n_in:n_in + n_keep], y
+
+        self._scan = jax.jit(
+            lambda x_chunks: jax.lax.scan(
+                step,
+                jnp.zeros((channels, self.carry_len), jnp.float32),
+                x_chunks)[1])
+
+    def n_out(self, T: int) -> int:
+        """Total outputs for T input samples + latency drain — identical to
+        the host Resampler's process(x) + drain() output count."""
+        return -(-T * self.den // self.num)
+
+    def resample_stream(self, x) -> "jax.Array":
+        """x: [C, T] float32 (device or host) -> [C, n_out(T)] on device,
+        latency-compensated (skip_zeros head drop + zero-input drain) —
+        the decoder-facing contract (iamf_resample + flush drain)."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x, jnp.float32)
+        T = x.shape[1]
+        want = self.n_out(T)
+        # output block b is emitted at scan step b+1 (its last windows read
+        # a few samples into the next chunk), so scan one zero-padded chunk
+        # past the last block; the zero tail doubles as the latency drain
+        n_blocks = -(-want // self.out_chunk)
+        n_steps = n_blocks + 1
+        pad = n_steps * self.in_chunk - T
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        chunks = x.T.reshape(n_steps, self.in_chunk, self.channels
+                             ).transpose(0, 2, 1)  # [n, C, in_chunk]
+        ys = self._scan(chunks)  # [n, C, out_chunk]; step 0 emits nothing
+        y = ys[1:].transpose(1, 0, 2).reshape(self.channels, -1)
+        return y[:, :want]

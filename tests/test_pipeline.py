@@ -341,7 +341,9 @@ def test_batched_resample_441_pcm_matches_serial():
     assert dec.needs_resample and dec.stream_rate == 44100
     out = np.asarray(dec.decode_all())
     assert out.shape == serial.shape
-    assert np.array_equal(out, serial)
+    # device resampler vs host speexdsp-parity: accumulation order only
+    diff = np.abs(out.astype(np.int64) - serial.astype(np.int64))
+    assert diff.max() <= 1, f"max {diff.max()}"
 
 
 def test_batched_resample_441_aac_matches_serial():

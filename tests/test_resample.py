@@ -120,3 +120,29 @@ def test_chunked_streaming_matches(oracle):
 def test_heavy_downsample_oversample_halving(oracle):
     """48k->8k triggers the oversample>>=1 branches in update_filter."""
     check(oracle, 48000, 8000)
+
+
+@pytest.mark.parametrize("rates", [(44100, 48000), (48000, 44100),
+                                   (32000, 48000), (16000, 48000)])
+def test_device_resampler_matches_host(rates):
+    """DeviceResampler (gathered-window einsum in a lax.scan with overlap-
+    save carry, SURVEY §2.3.6) vs the streaming speexdsp-parity host
+    Resampler: same output count, <=1e-5 absolute (float accumulation
+    order only) across up/down/integer-ratio pairs."""
+    import numpy as np
+    from iamf_tpu.dsp.resample import DeviceResampler, Resampler
+
+    in_rate, out_rate = rates
+    rng = np.random.RandomState(11)
+    C, T = 2, 7777  # deliberately not a chunk multiple
+    x = (rng.randn(C, T) * 0.4).astype(np.float32)
+    h = Resampler(C, in_rate, out_rate)
+    parts = [h.process(x[:, i:i + 960]) for i in range(0, T, 960)]
+    d = h.drain()
+    if d is not None and d.shape[1]:
+        parts.append(d)
+    want = np.concatenate(parts, axis=1)
+    dev = DeviceResampler(C, in_rate, out_rate)
+    got = np.asarray(dev.resample_stream(x))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-5
