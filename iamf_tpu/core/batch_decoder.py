@@ -99,6 +99,28 @@ def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
 class BatchedStreamDecoder:
     """Decode a complete in-memory IAMF stream in frame batches."""
 
+    @classmethod
+    def from_mp4(cls, path: str, start_sec: float = 0.0, **kw
+                 ) -> "BatchedStreamDecoder":
+        """Open an IAMF-in-MP4 file on the batched throughput path
+        (BASELINE config-4 class: `-i1` input, optional `-ts` seek).
+
+        The mp4 track is demuxed to a raw descriptor+packet OBU stream
+        (mp4_iamf_parser_read_packet re-glues descriptors on sample-
+        description change, mp4iamfpar.c:111-189; seek walks sample deltas,
+        :203-233) and decoded as one batched stream."""
+        from ..mp4.iamf_track import MP4IAMFParser
+
+        mp4 = MP4IAMFParser(path)
+        if start_sec > 0:
+            mp4.seek(start_sec)
+        parts = [mp4.descriptors]
+        for packet, new_descriptors in mp4.packets():
+            if new_descriptors:
+                parts.append(new_descriptors)
+            parts.append(packet)
+        return cls(b"".join(parts), **kw)
+
     def __init__(self, data: bytes, sound_system: int = 0, bits: int = 16,
                  batch_frames: int = 128, limiter: bool = True,
                  normalization_db: float | None = None,

@@ -109,3 +109,47 @@ def test_atom_dump_and_mp4_vlogger(tmp_path):
     assert "iamf_" in text and "codec_id: ipcm" in text
     assert "SampleRate: 48000" in text
     assert "stts" in text and "stsz" in text
+
+
+def test_batched_from_mp4_matches_serial(tmp_path):
+    """MP4 input on the batched throughput path (BASELINE config 4 class):
+    BatchedStreamDecoder.from_mp4 must match the serial player's mp4 loop."""
+    import numpy as np
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+    from iamf_tpu.api import IAMFDecoder
+    from iamf_tpu.tools.player import decode_mp4
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=8)
+    mp4 = vectors.build_mp4(stream)
+    path = str(tmp_path / "b.mp4")
+    with open(path, "wb") as f:
+        f.write(mp4)
+    dec = IAMFDecoder()
+    dec.set_sound_system(1)
+    serial, _, _ = decode_mp4(dec, path)
+    out = np.asarray(BatchedStreamDecoder.from_mp4(
+        path, sound_system=1, batch_frames=3).decode_all())
+    assert out.shape == serial.shape
+    assert np.array_equal(out, serial)
+
+
+def test_batched_from_mp4_seek(tmp_path):
+    """-ts seek through the batched path: same packets as the serial loop
+    from the same start index."""
+    import numpy as np
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+    from iamf_tpu.api import IAMFDecoder
+    from iamf_tpu.tools.player import decode_mp4
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=10)
+    mp4 = vectors.build_mp4(stream)
+    path = str(tmp_path / "s.mp4")
+    with open(path, "wb") as f:
+        f.write(mp4)
+    dec = IAMFDecoder()
+    dec.set_sound_system(1)
+    serial, _, _ = decode_mp4(dec, path, start_sec=0.05)  # 2400 smp -> frame 2
+    out = np.asarray(BatchedStreamDecoder.from_mp4(
+        path, start_sec=0.05, sound_system=1, batch_frames=4).decode_all())
+    assert out.shape == serial.shape
+    assert np.array_equal(out, serial)
