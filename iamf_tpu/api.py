@@ -172,9 +172,21 @@ class IAMFDecoder:
     # configure
     # ------------------------------------------------------------------
 
-    def configure(self, data: bytes) -> int:
+    def configure(self, data: Optional[bytes]) -> int:
         """Ingest descriptor OBUs; returns bytes consumed. Raises IAMFError
-        if descriptors are incomplete (caller supplies more data)."""
+        if descriptors are incomplete (caller supplies more data).
+
+        data=None re-configures with the already-ingested descriptors —
+        the reference's IAMF_decoder_configure(dec, NULL, 0, 0) used by the
+        -test_soundsystem soak after an output-layout change
+        (player_test_sound_system, iamfplayer.c:513-516); compatible
+        streams keep their codec/demix state (iamf_presentation_reuse_
+        stream, IAMF_decoder.c:1481-1525)."""
+        if data is None:
+            if not self._have_config:
+                raise IAMFError("no descriptors to reconfigure with")
+            self._enable_presentation(reuse=True)
+            return 0
         pos = 0
         if not self._magic_found:
             off = parser.find_sequence_header(data)
@@ -249,12 +261,20 @@ class IAMFDecoder:
 
         return best_loudness(mp, self.layout)
 
-    def _enable_presentation(self) -> None:
+    def _enable_presentation(self, reuse: bool = False) -> None:
         mp = self._best_mix_presentation()
         if mp is None:
             raise IAMFError("no mix presentation available")
         self.presentation = mp
         sub = mp.sub_mixes[0]
+
+        # stream reuse across reconfigure: keep the codec/demix state of
+        # elements whose decode config is unchanged by the new layout
+        # (iamf_presentation_reuse_stream, IAMF_decoder.c:1481-1525)
+        old = {}
+        if reuse:
+            old = {s.element_id: (s, d)
+                   for s, d in zip(self.streams, self.decoders)}
 
         self.streams = []
         self.decoders = []
@@ -277,8 +297,29 @@ class IAMFDecoder:
             item.mix_gain = pi
 
             stream = Stream(item, self.layout)
+            prev = old.get(econf.element_id)
+            same_cfg = False
+            if prev is not None:
+                if stream.scheme == ElementType.CHANNEL_BASED:
+                    same_cfg = (prev[0].selected_layout
+                                == stream.selected_layout)
+                else:
+                    same_cfg = True  # ambisonics decode is layout-agnostic
+            if same_cfg:
+                # same decode config: adopt the old decoder (codec overlap
+                # windows, demixer smoothing, delay bookkeeping) and carry
+                # the timestamp; only the renderer is layout-dependent
+                stream.timestamp = prev[0].timestamp
+                stream.trimming_start = prev[0].trimming_start
+                stream.trimming_end = prev[0].trimming_end
+                if hasattr(prev[0], "dmx_mode"):
+                    stream.dmx_mode = prev[0].dmx_mode
+                dec = prev[1]
+                dec.stream = stream
+            else:
+                dec = StreamDecoder(stream, self.db)
             self.streams.append(stream)
-            self.decoders.append(StreamDecoder(stream, self.db))
+            self.decoders.append(dec)
             self.renderers.append(
                 StreamRenderer(stream, econf.headphones_rendering_mode)
             )

@@ -98,6 +98,64 @@ def decode_mp4(dec: IAMFDecoder, path: str, start_sec: float = 0.0):
     return out, frames, elapsed
 
 
+def soak_sound_systems(args) -> int:
+    """Randomized layout-switch soak (the reference's -test_soundsystem,
+    player_test_sound_system iamfplayer.c:453-519): decode the stream while
+    re-targeting a random sound system / binaural every interval via
+    configure(None) reconfigure with stream reuse; one wav per segment."""
+    import random
+
+    from ..constants import SoundSystem
+
+    rng = random.Random(args.test_soundsystem)
+    dec = IAMFDecoder()
+    dec.samsung_tv = args.tv
+    dec.set_sound_system(0)
+    with open(args.input, "rb") as f:
+        data = f.read()
+    pos = dec.configure(data)
+    valid = [s.value for s in SoundSystem] + ["b"]
+    segments = []
+    chunks = []
+    frames = 0
+    cur = "0"
+    interval = 25  # ~0.5 s of 960-sample frames
+    while pos < len(data):
+        if frames and frames % interval == 0:
+            if chunks:
+                segments.append((cur, np.concatenate(chunks, axis=0)))
+                chunks = []
+            nxt = cur
+            while nxt == cur:
+                nxt = rng.choice(valid)
+            cur = nxt
+            if cur == "b":
+                dec.set_binaural()
+            else:
+                dec.set_sound_system(int(cur))
+            dec.configure(None)
+            print(f"Change to {cur} and it has {dec.layout.channels} "
+                  f"channels")
+        consumed, pcm = dec.decode(data[pos:])
+        if consumed == 0 and pcm is None:
+            break
+        pos += consumed
+        if pcm is not None and len(pcm):
+            chunks.append(pcm)
+            frames += 1
+    _, pcm = dec.decode(None)
+    if pcm is not None and len(pcm):
+        chunks.append(pcm)
+    if chunks:
+        segments.append((cur, np.concatenate(chunks, axis=0)))
+    base = os.path.basename(args.input).rsplit(".", 1)[0]
+    for i, (name, seg) in enumerate(segments):
+        prefix = "binaural" if name == "b" else f"ss{name}"
+        write_wav(f"{prefix}_{i}_{base}.wav", seg, args.r, args.d)
+    print(f"Get {frames} frames over {len(segments)} layout segments")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="iamfplayer", description=__doc__)
     ap.add_argument("input")
@@ -117,7 +175,15 @@ def main(argv=None) -> int:
                     help="write OBU vlog (SUPPORT_VERIFIER vlogging)")
     ap.add_argument("-sr", metavar="DIR", default=None,
                     help="dump per-stage wavs (IAMF_debug_sr taps)")
+    ap.add_argument("-test_soundsystem", type=int, default=None,
+                    metavar="SEED",
+                    help="randomized layout-switch soak: reconfigure the "
+                         "output layout every ~0.5 s mid-stream "
+                         "(player_test_sound_system, iamfplayer.c:453-519)")
     args = ap.parse_args(argv)
+
+    if args.test_soundsystem is not None:
+        return soak_sound_systems(args)
 
     dec = IAMFDecoder()
     dec.samsung_tv = args.tv

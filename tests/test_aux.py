@@ -168,3 +168,73 @@ class TestParallelStrategies:
             [np.asarray(quantize_interleave(mat @ x[m], 16))
              for m in range(x.shape[0])])
         np.testing.assert_array_equal(got, want)
+
+
+def test_reconfigure_none_stream_reuse():
+    """configure(None): re-target the output layout mid-stream with stream
+    reuse (player_test_sound_system semantics + iamf_presentation_reuse_
+    stream). PCM is stateless, so each segment must bit-match a fresh
+    decode at that layout."""
+    stream, _ = vectors.build_pcm_51_stream(n_frames=8)
+
+    # limiter disabled: the reference re-inits the limiter on every
+    # reconfigure (configure :3810), shifting each segment by its
+    # look-ahead swallow — with it off, PCM frames align exactly
+    def full_decode(ss):
+        from test_e2e_pcm import ours_decode
+
+        return ours_decode(stream, ss, peak_limiter_enable=False)
+
+    golden = {ss: full_decode(ss) for ss in (0, 1, 2)}
+
+    dec = IAMFDecoder()
+    dec.set_sound_system(0)
+    dec.set_peak_limiter_enable(False)
+    pos = dec.configure(stream)
+    schedule = [0, 0, 1, 1, 2, 2, 0, 0]
+    outs = []
+    f = 0
+    while pos < len(stream):
+        if f < len(schedule) and (f == 0 or schedule[f] != schedule[f - 1]):
+            dec.set_sound_system(schedule[f])
+            dec.configure(None)
+        consumed, pcm = dec.decode(stream[pos:])
+        if consumed == 0 and pcm is None:
+            break
+        pos += consumed
+        if pcm is not None and len(pcm):
+            outs.append((schedule[min(f, len(schedule) - 1)], pcm))
+            f += 1
+    # limiter restarts per reconfigure (reference re-inits it in configure)
+    # so compare the mixed/rendered content: each frame must equal the
+    # same frame of a continuous decode at that layout
+    at = 0
+    for ss, pcm in outs:
+        seg = golden[ss][at: at + pcm.shape[0]]
+        assert pcm.shape == seg.shape
+        d = np.abs(pcm.astype(np.int64) - seg.astype(np.int64))
+        assert d.max() == 0, f"frame at {at} (ss{ss}): max {d.max()}"
+        at += pcm.shape[0]
+
+
+def test_soak_sound_system_switches(tmp_path):
+    """The player's -test_soundsystem soak runs to completion and writes
+    one wav per layout segment (SURVEY §4.4)."""
+    import os
+
+    from iamf_tpu.tools.player import main as player_main
+
+    stream, _ = vectors.build_pcm_51_stream(n_frames=60)
+    path = str(tmp_path / "soak.iamf")
+    with open(path, "wb") as f:
+        f.write(stream)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = player_main(["-o", "2", "-s", "0",
+                          "-test_soundsystem", "7", path])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    wavs = [p for p in os.listdir(tmp_path) if p.endswith(".wav")]
+    assert len(wavs) >= 2, wavs
