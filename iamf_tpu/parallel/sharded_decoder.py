@@ -52,12 +52,15 @@ from ..dsp.limiter import init_state, process_block
 from ..dsp.quantize import quantize_interleave
 
 
-def _pvary(tree, axis):
+def _pvary(tree, axes):
+    if isinstance(axes, str):
+        axes = (axes,)
     return jax.tree.map(
-        lambda a: jax.lax.pcast(a, (axis,), to="varying"), tree)
+        lambda a: jax.lax.pcast(a, tuple(axes), to="varying"), tree)
 
 
-def _limiter_shard_chain(cfg, flat, n_shards: int, axis: str):
+def _limiter_shard_chain(cfg, flat, n_shards: int, axis: str,
+                         vary_axes=("frames",)):
     """Sequential limiter chain across the mesh's shard axis.
 
     flat: this shard's mixed samples [out, F*T]. Runs S hops; at hop k,
@@ -68,7 +71,7 @@ def _limiter_shard_chain(cfg, flat, n_shards: int, axis: str):
     """
     lim = cfg.limiter
     idx = jax.lax.axis_index(axis)
-    state0 = _pvary(init_state(lim), axis)
+    state0 = _pvary(init_state(lim), vary_axes)
     y0 = jnp.zeros_like(flat)
     perm = [(i, i + 1) for i in range(n_shards - 1)]
 
@@ -101,25 +104,30 @@ class ShardedStreamDecoder:
     def __init__(self, data: bytes, mesh: Mesh | None = None,
                  n_devices: int | None = None, sound_system: int = 0,
                  bits: int = 16, limiter: bool = True,
-                 element_axis: int = 1):
+                 element_axis: int = 1, substream_axis: int = 1):
+        if element_axis > 1 and substream_axis > 1:
+            raise ValueError("element_axis and substream_axis are "
+                             "mutually exclusive (use a 2-D mesh)")
         if mesh is None:
             n = n_devices or len(jax.devices())
-            if element_axis > 1:
-                f = n // element_axis
+            if element_axis > 1 or substream_axis > 1:
+                second = max(element_axis, substream_axis)
+                name = "elements" if element_axis > 1 else "substreams"
+                f = n // second
                 if f < 1:
                     raise ValueError(
-                        f"element_axis={element_axis} needs >= that many "
+                        f"{name} axis of {second} needs >= that many "
                         f"devices, have {n}")
                 mesh = Mesh(
-                    np.array(jax.devices()[: f * element_axis]).reshape(
-                        f, element_axis),
-                    axis_names=("frames", "elements"))
+                    np.array(jax.devices()[: f * second]).reshape(f, second),
+                    axis_names=("frames", name))
             else:
                 mesh = Mesh(np.array(jax.devices()[:n]),
                             axis_names=("frames",))
         self.mesh = mesh
         self.n_shards = mesh.shape["frames"]
         self.n_eshards = dict(mesh.shape).get("elements", 1)
+        self.n_sshards = dict(mesh.shape).get("substreams", 1)
         self.base = BatchedStreamDecoder(
             data, sound_system=sound_system, bits=bits, limiter=limiter,
             batch_frames=128,  # only gates head_trim; we drive the pipeline
@@ -195,6 +203,7 @@ class ShardedStreamDecoder:
         xs_sharded = []
         chunks = []
         kinds = []
+        lanes = []  # true per-element lane count (pre substream padding)
         for i, e in enumerate(base.elems):
             packets = [base.frames_per_substream[sid]
                        for sid in e.substream_ids]
@@ -217,9 +226,28 @@ class ShardedStreamDecoder:
                     for k in range(n)])
                 kinds.append("raw")
             chunks.append(chunk)
+            buf = np.asarray(buf)
+            lanes.append(buf.shape[1])
+            spec = P("frames")
+            if self.n_sshards > 1:
+                # substream-parallel (TP): shard the lane/channel axis;
+                # pad to divisibility with neutral rows (zero spectra;
+                # opus packed periods floored to MINPERIOD so the comb
+                # gather stays in range — the padded lanes synthesize
+                # silence and are sliced off after the all_gather)
+                Ss = self.n_sshards
+                Lp = -(-buf.shape[1] // Ss) * Ss
+                if Lp != buf.shape[1]:
+                    pad = np.zeros(
+                        (buf.shape[0], Lp - buf.shape[1]) + buf.shape[2:],
+                        buf.dtype)
+                    if e.opus:
+                        pad[..., 961] = 15  # t_cur
+                        pad[..., 962] = 15  # t_new
+                    buf = np.concatenate([buf, pad], axis=1)
+                spec = P("frames", None, "substreams")
             xs_sharded.append(self._put(
-                self._shard_rows(np.asarray(buf), 0, self.prerolls[i]),
-                P("frames")))
+                self._shard_rows(buf, 0, self.prerolls[i]), spec))
 
         # ---- host: shard the replayed parameter timeline (no preroll —
         # parameters are pure per-frame data)
@@ -246,7 +274,8 @@ class ShardedStreamDecoder:
 
         pcm_shards, final_lim = _sharded_program(
             self.mesh, cfg, S, tuple(kinds), self.prerolls,
-            tuple(chunks), self.n_eshards)(tuple(xs_sharded), params)
+            tuple(chunks), self.n_eshards, self.n_sshards,
+            tuple(lanes))(tuple(xs_sharded), params)
 
         pcm = self._fetch(pcm_shards).reshape(S * F * T, cfg.out_channels)
 
@@ -278,7 +307,8 @@ class ShardedStreamDecoder:
         return pcm[lead: lead + want]
 
 
-def _comb_chain(cfg, opus_sig: dict, chunks: tuple, n_shards: int):
+def _comb_chain(cfg, opus_sig: dict, chunks: tuple, n_shards: int,
+                vary_axes: tuple = ("frames",)):
     """Stage 2: the CELT comb post-filter + de-emphasis IIR chains across
     the 'frames' axis (exact ppermute hand-off; see module docstring).
 
@@ -290,9 +320,9 @@ def _comb_chain(cfg, opus_sig: dict, chunks: tuple, n_shards: int):
     perm = [(i, i + 1) for i in range(n_shards - 1)]
     carry0 = {
         i: (_pvary(jnp.zeros((opus_sig[i][0].shape[0], tpu_synth.HIST),
-                             jnp.float32), "frames"),
+                             jnp.float32), vary_axes),
             _pvary(jnp.zeros((opus_sig[i][0].shape[0],), jnp.float32),
-                   "frames"))
+                   vary_axes))
         for i in opus_sig
     }
     outs0 = {i: jnp.zeros_like(opus_sig[i][0]) for i in opus_sig}
@@ -319,7 +349,8 @@ def _comb_chain(cfg, opus_sig: dict, chunks: tuple, n_shards: int):
     return outs
 
 
-def _post_mix(cfg: PipelineConfig, flat, n_shards: int):
+def _post_mix(cfg: PipelineConfig, flat, n_shards: int,
+              vary_axes=("frames",)):
     """Stages after the element mix: head-trim splice halo, limiter chain,
     quantize. flat: [out, F*T] this shard's mixed samples."""
     if cfg.head_trim:
@@ -335,10 +366,11 @@ def _post_mix(cfg: PipelineConfig, flat, n_shards: int):
         flat = jnp.concatenate([flat[:, h:], halo], axis=1)
 
     if cfg.limiter is not None:
-        y, final = _limiter_shard_chain(cfg, flat, n_shards, "frames")
+        y, final = _limiter_shard_chain(cfg, flat, n_shards, "frames",
+                                        vary_axes)
     else:
         y = flat
-        final = _pvary(jnp.zeros(()), "frames")
+        final = _pvary(jnp.zeros(()), vary_axes)
 
     pcm = quantize_interleave(y, cfg.bits)  # [F*T, out]
     return pcm, final
@@ -346,7 +378,8 @@ def _post_mix(cfg: PipelineConfig, flat, n_shards: int):
 
 def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
                      kinds: tuple, prerolls: tuple, chunks: tuple,
-                     n_eshards: int = 1):
+                     n_eshards: int = 1, n_sshards: int = 1,
+                     lanes: tuple = ()):
     """Build the jitted shard_map decode program.
 
     fn(xs: tuple of [S, R_e+F, ...] sharded over 'frames' (replicated over
@@ -370,12 +403,9 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
     opus_idx = [i for i, k in enumerate(kinds) if k == "opus"]
     perm = [(i, i + 1) for i in range(n_shards - 1)]
 
-    def local(xs, params):
-        # leading shard axis is size 1 locally under shard_map: drop it
-        xs = [x[0] for x in xs]
-        idx = jax.lax.axis_index("frames")
-
-        # ---- stage 1 (parallel): filterbanks / raw input
+    def _stage12(xs, vary_axes=("frames",)):
+        """Stage 1 (filterbanks / raw input) + stage 2 (comb/de-emphasis
+        chains over 'frames') on this shard's lanes; returns x_list."""
         x_list = [None] * n_e
         opus_sig = {}
         for i in range(n_e):
@@ -386,21 +416,22 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
             elif kinds[i] == "aac":
                 from ..codecs.aac import tpu_synth as aac_synth
 
-                lanes = xs[i].shape[1]
+                nl = xs[i].shape[1]
                 x, _ = aac_synth.synthesize_packed(
-                    xs[i], aac_synth.init_carry(lanes))
+                    xs[i], aac_synth.init_carry(nl))
                 x_list[i] = x[prerolls[i]:]
             else:
                 x_list[i] = xs[i][prerolls[i]:]
-
-        # ---- stage 2 (chain): CELT comb post-filter + de-emphasis IIRs
         if opus_idx:
-            outs = _comb_chain(cfg, opus_sig, chunks, n_shards)
+            outs = _comb_chain(cfg, opus_sig, chunks, n_shards, vary_axes)
             for i in opus_idx:
                 L = outs[i].shape[0]
                 x_list[i] = outs[i].reshape(L, -1, T).transpose(1, 0, 2)
+        return x_list
 
-        # ---- stage 3 (parallel): demix + render + gains + mix
+    def _stage34(x_list, params, vary_axes=("frames",)):
+        """Stage 3 (demix + render + gains + mix) + stage 4 (trim splice
+        halo + limiter chain + quantize)."""
         pf = {
             "x": x_list,
             "factors": [params["factors"][i][0] for i in range(n_e)],
@@ -415,9 +446,32 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
         mixed = jax.vmap(lambda inp: _frame_compute(cfg, inp))(pf)
         Fl = mixed.shape[0]
         flat = mixed.transpose(1, 0, 2).reshape(cfg.out_channels, Fl * T)
+        return _post_mix(cfg, flat, n_shards, vary_axes)
 
-        # ---- stage 4 (chains): trim splice halo + limiter envelope
-        pcm, final = _post_mix(cfg, flat, n_shards)
+    def local(xs, params):
+        # leading shard axis is size 1 locally under shard_map: drop it
+        xs = [x[0] for x in xs]
+        x_list = _stage12(xs)
+        pcm, final = _stage34(x_list, params)
+        return pcm[None], jax.tree.map(lambda a: a[None], final)
+
+    def local_substreams(xs, params):
+        """2-D (frames, substreams) variant — SURVEY §2.4 substream/TP:
+        the lane (substream-channel) axis of each element's filterbank +
+        comb/de-emphasis runs sharded over 'substreams' (independent by
+        spec: entropy is per-substream, the IIRs are per-lane), then an
+        all_gather reassembles the element's channels before the demix —
+        exactly the SURVEY row's 'none during entropy decode; all-gather
+        before demix'. The post-mix chains run on every substream row on
+        gathered data."""
+        xs = [x[0] for x in xs]
+        x_list = _stage12(xs, vary_axes=("frames", "substreams"))
+        for i in range(n_e):
+            g = jax.lax.all_gather(
+                x_list[i], "substreams", axis=1, tiled=True)
+            x_list[i] = g[:, :lanes[i]]  # drop the divisibility padding
+        pcm, final = _stage34(x_list, params,
+                              vary_axes=("frames", "substreams"))
         return pcm[None], jax.tree.map(lambda a: a[None], final)
 
     def local_elements(xs, params):
@@ -543,8 +597,10 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
         pcm, final = _post_mix(cfg, flat, n_shards)
         return pcm[None], jax.tree.map(lambda a: a[None], final)
 
+    xs_spec = (P("frames", None, "substreams") if n_sshards > 1
+               else P("frames"))
     in_specs = (
-        tuple([P("frames")] * n_e),
+        tuple([xs_spec] * n_e),
         {
             "factors": [P("frames")] * n_e,
             "rg": [P("frames")] * n_e,
@@ -562,6 +618,14 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
         lim_spec = P("frames")
     out_specs = (P("frames"), lim_spec)
 
+    fn = (local_elements if n_eshards > 1
+          else local_substreams if n_sshards > 1 else local)
+    kw = {}
+    if n_sshards > 1:
+        # every substream row computes the identical gathered mix; the
+        # varying-axis checker cannot statically prove that replication
+        # (all_gather keeps the 'substreams' varying tag), so it is
+        # disabled for this variant only
+        kw["check_vma"] = False
     return jax.jit(jax.shard_map(
-        local_elements if n_eshards > 1 else local,
-        mesh=mesh, in_specs=in_specs, out_specs=out_specs))
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw))

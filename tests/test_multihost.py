@@ -41,7 +41,9 @@ from iamf_tpu.parallel.sharded_decoder import ShardedStreamDecoder
 assert len(jax.devices()) == nproc * per_host
 assert len(jax.local_devices()) == per_host
 data = open(stream_path, "rb").read()
-dec = ShardedStreamDecoder(data, sound_system=9)  # global 8-device mesh
+sub_axis = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+dec = ShardedStreamDecoder(data, sound_system=9,
+                           substream_axis=sub_axis)  # global 8-device mesh
 pcm = dec.decode_all()  # ordered gather: every host holds the full PCM
 if pid == 0:  # host 0 writes the output
     np.save(out_path, pcm)
@@ -56,7 +58,14 @@ def _free_port() -> int:
     return port
 
 
-def test_two_host_decode_matches_single_host(tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("sub_axis", [1, 2],
+                          ids=["frames-mesh", "frames-x-substreams"])
+def test_two_host_decode_matches_single_host(tmp_path, sub_axis):
+    """1-D frames mesh, and the 2-D (frames, substreams) mesh whose
+    all_gather collective crosses the process (DCN/Gloo) boundary."""
     n_frames, T = 24, 960
     pcm = vectors.sine_pcm(n_frames * T, 12, 48000, amp=0.4, bits=16, seed=7)
     burst = vectors.sine_pcm(2 * T, 12, 48000, amp=1.4, bits=16, seed=8)
@@ -82,7 +91,7 @@ def test_two_host_decode_matches_single_host(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", str(port),
-             str(spath), str(out), "4"],
+             str(spath), str(out), "4", str(sub_axis)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
     ]

@@ -187,3 +187,61 @@ def test_elements_mesh_limiter_excursion():
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, f"max diff {diff.max()}"
     assert np.abs(np.asarray(want, np.int64)).max() >= 28000
+
+
+# ---------------------------------------------------------------------------
+# Mesh(frames, substreams): substream/TP-parallel decode of the REAL decoder
+# — lane-sharded filterbank + IIR chains, all_gather before demix (SURVEY
+# §2.4 "none during entropy decode (independent by spec); all-gather before
+# demix").
+# ---------------------------------------------------------------------------
+
+
+def test_substreams_mesh_opus_714():
+    """12 opus lanes on a 2x4 (frames, substreams) mesh: each substream row
+    synthesizes 3 lanes, the all_gather reassembles the element before the
+    demix/render. <=1 LSB vs single-device."""
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.L714, n_frames=10)
+    want = BatchedStreamDecoder(
+        stream, sound_system=9, batch_frames=5).decode_all()
+    dec = ShardedStreamDecoder(
+        stream, n_devices=8, sound_system=9, substream_axis=4)
+    assert dec.n_sshards == 4 and dec.n_shards == 2
+    got = dec.decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_substreams_mesh_lane_padding():
+    """5.1 = 4 substreams / 6 lanes on 4 substream shards: lanes pad 6->8
+    with neutral rows (period >= MINPERIOD) that synthesize silence and
+    are dropped after the gather."""
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.L510, n_frames=8)
+    want = BatchedStreamDecoder(
+        stream, sound_system=1, batch_frames=4).decode_all()
+    got = ShardedStreamDecoder(
+        stream, n_devices=8, sound_system=1, substream_axis=4).decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_substreams_mesh_pcm_limiter():
+    """Raw (PCM) channel axis sharded over substreams, limiter chain on
+    gathered data, excursion crossing a frames boundary."""
+    n_frames, T = 16, 960
+    pcm = _loud_pcm(n_frames, T, 12, boundary_frame=8)
+    stream, _ = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=T,
+        pcm_override=pcm)
+    want = BatchedStreamDecoder(
+        stream, sound_system=9, batch_frames=8).decode_all()
+    got = ShardedStreamDecoder(
+        stream, n_devices=8, sound_system=9, substream_axis=2).decode_all()
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert np.abs(np.asarray(want, np.int64)).max() >= 28000
