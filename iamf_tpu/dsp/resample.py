@@ -24,9 +24,16 @@ same bank/gather formulation drops into the device pipeline if needed.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
+
+try:  # the host Resampler has no jax dependency; DeviceResampler does
+    import jax
+    import jax.numpy as jnp
+except ImportError:  # pragma: no cover
+    jax = None
 
 
 def _i0(x):
@@ -240,6 +247,26 @@ class Resampler:
         return self.process(zeros)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _resample_scan(N, n_in, n_keep, win_start, W, chunks):
+    """One lax.scan over [n_steps, C, in_chunk] chunks -> [n_steps, C,
+    out_chunk] blocks (block b emitted at step b+1); module-level jit so
+    every instance for the same rate pair shares one compiled program."""
+
+    def step(carry, x_t):
+        buf = jnp.concatenate([carry, x_t], axis=1)
+        idx = win_start[:, None] + jnp.arange(N)[None, :]
+        windows = buf[:, idx]  # [C, out_chunk, N]
+        y = jnp.einsum("cof,of->co", windows, W,
+                       precision=jax.lax.Precision.HIGHEST)
+        y = jnp.clip(y, -1.0, 1.0)  # FLTADJUST
+        return buf[:, n_in:n_in + n_keep], y
+
+    C = chunks.shape[1]
+    init = jnp.zeros((C, n_keep), jnp.float32)
+    return jax.lax.scan(step, init, chunks)[1]
+
+
 class DeviceResampler:
     """TPU-native streaming resampler: the polyphase FIR as a gathered-
     window einsum inside a lax.scan, with an overlap-save input carry
@@ -261,9 +288,6 @@ class DeviceResampler:
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
                  quality: int = 4, target_chunk: int = 8192):
-        import jax
-        import jax.numpy as jnp
-
         host = Resampler(channels, in_rate, out_rate, quality)
         self.host_params = host
         self.channels = channels
@@ -295,24 +319,14 @@ class DeviceResampler:
         # output window reaches back into (see window algebra above)
         self.carry_len = self.in_chunk + N - 1 - N // 2
 
-        win_start = jnp.asarray(self.win_start)
-        Wd = jnp.asarray(self.W)
-        n_in, n_keep = self.in_chunk, self.carry_len
-
-        def step(carry, x_t):
-            buf = jnp.concatenate([carry, x_t], axis=1)
-            idx = win_start[:, None] + jnp.arange(N)[None, :]
-            windows = buf[:, idx]  # [C, out_chunk, N]
-            y = jnp.einsum("cof,of->co", windows, Wd,
-                           precision=jax.lax.Precision.HIGHEST)
-            y = jnp.clip(y, -1.0, 1.0)  # FLTADJUST
-            return buf[:, n_in:n_in + n_keep], y
-
-        self._scan = jax.jit(
-            lambda x_chunks: jax.lax.scan(
-                step,
-                jnp.zeros((channels, self.carry_len), jnp.float32),
-                x_chunks)[1])
+        self._win_start = np.asarray(self.win_start)
+        # module-level jit keyed on the static shape config so every
+        # DeviceResampler instance for the same rate pair shares ONE
+        # compiled program (a per-instance lambda would recompile per
+        # decoder — minutes each through the axon remote-compile tunnel)
+        self._scan = lambda chunks: _resample_scan(
+            N, self.in_chunk, self.carry_len,
+            jnp.asarray(self._win_start), jnp.asarray(self.W), chunks)
 
     def n_out(self, T: int) -> int:
         """Total outputs for T input samples + latency drain — identical to

@@ -80,3 +80,37 @@ def test_garbage_codec_packets():
             i = int(rng.integers(start, len(b)))
             b[i] ^= 0xFF
         _try_decode(bytes(b))
+
+
+def test_vlogger_fuzz_robustness():
+    """The conformance vloggers must survive truncated/bit-flipped streams
+    (log what parses, never crash) — the -v flag runs on untrusted input."""
+    import io
+    import random
+
+    from iamf_tpu.tools.vlogger import vlog_stream
+    from iamf_tpu.mp4.atoms import vlog_mp4
+
+    stream, _ = vectors.build_scalable_pcm_stream(n_frames=3)
+    mp4 = vectors.build_mp4(vectors.build_pcm_stereo_stream(n_frames=2)[0])
+    rng = random.Random(99)
+    for _ in range(40):
+        data = bytearray(stream)
+        for _ in range(rng.randint(1, 6)):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        cut = rng.randrange(len(data))
+        for blob in (bytes(data), bytes(data[:cut])):
+            try:
+                vlog_stream(blob, io.StringIO())
+            except (ValueError, IndexError, KeyError, EOFError):
+                pass  # graceful parse rejection is fine; crashes are not
+    for _ in range(40):
+        data = bytearray(mp4)
+        for _ in range(rng.randint(1, 6)):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        cut = rng.randrange(len(data))
+        for blob in (bytes(data), bytes(data[:cut])):
+            try:
+                vlog_mp4(blob, io.StringIO())
+            except (ValueError, IndexError, KeyError, EOFError):
+                pass
