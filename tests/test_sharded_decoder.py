@@ -245,3 +245,39 @@ def test_substreams_mesh_pcm_limiter():
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, f"max diff {diff.max()}"
     assert np.abs(np.asarray(want, np.int64)).max() >= 28000
+
+
+def test_pipeline_parallel_two_stage():
+    """PP on the real decoder: codec synthesis on device 0, demix/render/
+    limiter/quantize on device 1, activations crossing as [B, C, T]
+    tensors; async dispatch pipelines the microbatches. Bit-identical to
+    the single-device batched decode (same compiled stages, split)."""
+    from iamf_tpu.parallel.pp_decoder import PipelinedStreamDecoder
+
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.L510, n_frames=12)
+    want = BatchedStreamDecoder(
+        stream, sound_system=1, batch_frames=4).decode_all()
+    dec = PipelinedStreamDecoder(
+        stream, devices=jax.devices()[:2], sound_system=1, batch_frames=4)
+    got = dec.decode_all()
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+    # the two carries really live on their own devices
+    assert dec.dev_a != dec.dev_b
+
+
+def test_pipeline_parallel_pcm_limiter():
+    from iamf_tpu.parallel.pp_decoder import PipelinedStreamDecoder
+
+    n_frames, T = 12, 960
+    pcm = _loud_pcm(n_frames, T, 6, boundary_frame=6)
+    stream, _ = vectors.build_pcm_layout_stream(
+        ChannelLayout.L510, n_frames=n_frames, frame_size=T,
+        pcm_override=pcm)
+    want = BatchedStreamDecoder(
+        stream, sound_system=1, batch_frames=4).decode_all()
+    got = PipelinedStreamDecoder(
+        stream, sound_system=1, batch_frames=4).decode_all()
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
