@@ -191,8 +191,10 @@ class AACDecoder(CodecDecoder):
                 # last good frame (the reference sets fdk's
                 # AAC_CONCEAL_METHOD=1 for the same situation,
                 # aac_multistream_decoder.c:204-224)
-                if pkt is not None and not self._conceal:
-                    raise ValueError(f"aac decode failed ({r})")
+                if not self._conceal:
+                    raise ValueError(
+                        "missing aac sub packet" if pkt is None
+                        else f"aac decode failed ({r})")
                 last, gain = self._plc.get(i, (None, 1.0))
                 gain *= 0.5
                 y = (last * np.float32(gain) if last is not None

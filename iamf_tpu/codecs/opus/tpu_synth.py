@@ -270,6 +270,13 @@ def _deemphasis(z, m0):
     return out, demem
 
 
+# packed-buffer column indices after the FRAME spectrum columns (consumed
+# by unpack_buf below and by the sharded decoder's neutral lane padding)
+PACKED_TRANSIENT = FRAME
+PACKED_T_CUR = FRAME + 1
+PACKED_T_NEW = FRAME + 2
+
+
 def pack_params(d: dict) -> np.ndarray:
     """Pack the five small per-frame entropy outputs into ONE [B, L, 9]
     float32 buffer (transient, t_cur, t_new, g_cur[3], g_new[3]): the

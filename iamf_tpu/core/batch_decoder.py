@@ -721,7 +721,10 @@ class BatchedStreamDecoder:
             step_carry, pcm = _fused_decode(
                 self.cfg, kinds, step_carry, stream_params, bufs)
             device_outs.append(pcm)
-            if fetch_pool is not None:
+            if fetch_pool is not None and bi >= k0:
+                # k0=1 under the head-trim splice: the first call's output
+                # is warm-up zeros that would otherwise waste a ~3 MB pull
+                # through the ~44 MB/s tunnel before being discarded
                 try:
                     pcm.copy_to_host_async()
                 except AttributeError:  # non-jax array (tests)
@@ -744,7 +747,7 @@ class BatchedStreamDecoder:
             return self._resample_tail(dev)
         fetched = [f.result() for f in fetch_futs]
         fetch_pool.shutdown()
-        full = np.concatenate(fetched[k0:], axis=0)
+        full = np.concatenate(fetched, axis=0)  # futures already start at k0
         if self.cfg.limiter is not None:
             # limiter look-ahead: drop the first delay_size rows; the
             # trailing pad batches already pushed zeros through the delay

@@ -29,11 +29,8 @@ import math
 
 import numpy as np
 
-try:  # the host Resampler has no jax dependency; DeviceResampler does
-    import jax
-    import jax.numpy as jnp
-except ImportError:  # pragma: no cover
-    jax = None
+import jax
+import jax.numpy as jnp
 
 
 def _i0(x):

@@ -242,8 +242,10 @@ class ShardedStreamDecoder:
                         (buf.shape[0], Lp - buf.shape[1]) + buf.shape[2:],
                         buf.dtype)
                     if e.opus:
-                        pad[..., 961] = 15  # t_cur
-                        pad[..., 962] = 15  # t_new
+                        from ..codecs.opus import tpu_synth
+
+                        pad[..., tpu_synth.PACKED_T_CUR] = 15
+                        pad[..., tpu_synth.PACKED_T_NEW] = 15
                     buf = np.concatenate([buf, pad], axis=1)
                 spec = P("frames", None, "substreams")
             xs_sharded.append(self._put(

@@ -228,6 +228,13 @@ def main(argv=None) -> int:
                         memoryview(mp4.descriptors)):
                     v.log_obu(obu)
                 for packet, new_desc in mp4.packets():
+                    if new_desc:
+                        # sample-description change: the re-glued
+                        # descriptor OBUs log in stream order, as the
+                        # reference verifier does
+                        for obu in obu_parser.iter_obus(
+                                memoryview(new_desc)):
+                            v.log_obu(obu)
                     for obu in obu_parser.iter_obus(memoryview(packet)):
                         v.log_obu(obu)
                 n += v._count
