@@ -167,7 +167,12 @@ class OpusDecoder(CodecDecoder):
         gains_tab = _gains_table()
         B = len(frames)
         L = sum(ch for _, ch in self._decoders)
-        freq = np.zeros((B, L, 960), np.float32)
+        # freq is a view into a [B, L, 969] backing array: the batched
+        # decoder appends pack_params' 9 per-frame values in the trailing
+        # columns and ships ONE h2d buffer without re-copying the 960-wide
+        # spectra (the concatenate cost ~10% of the opus host path)
+        freq_ext = np.zeros((B, L, 969), np.float32)
+        freq = freq_ext[..., :960]
         transient = np.zeros((B, L), bool)
         t_cur = np.full((B, L), MINPERIOD, np.int32)
         t_new = np.full((B, L), MINPERIOD, np.int32)
@@ -240,8 +245,8 @@ class OpusDecoder(CodecDecoder):
              np.where(np.any(g_new != 0, -1), t_new, 1 << 30).ravel()])
         min_period = int(active.min()) if active.size else 1 << 30
         postfilter = min_period < (1 << 30)
-        return dict(freq=freq, transient=transient, t_cur=t_cur,
-                    t_new=t_new, g_cur=g_cur, g_new=g_new,
+        return dict(freq=freq, freq_ext=freq_ext, transient=transient,
+                    t_cur=t_cur, t_new=t_new, g_cur=g_cur, g_new=g_new,
                     postfilter=postfilter,
                     min_period=min_period if postfilter else 1 << 30)
 

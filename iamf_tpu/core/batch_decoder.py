@@ -508,9 +508,12 @@ class BatchedStreamDecoder:
             padded["t_cur"] = np.maximum(padded["t_cur"], 15)
             padded["t_new"] = np.maximum(padded["t_new"], 15)
             d.update(padded)
-        packed = self.opus_synth.pack_params(d)
-        buf = np.concatenate([d["freq"], packed], axis=-1)  # [B, L, 969]
-        return buf, self.opus_synth.pick_chunk(d["min_period"])
+            d["freq"] = d["freq_ext"][..., :960]
+        # pack the 9 per-frame values into the trailing columns of the
+        # spectrum's [B, L, 969] backing array: one h2d buffer, zero copy
+        # of the 960-wide spectra
+        d["freq_ext"][..., 960:] = self.opus_synth.pack_params(d)
+        return d["freq_ext"], self.opus_synth.pick_chunk(d["min_period"])
 
     def _aac_entropy(self, e: _ElemCtx, packets, start, count, B):
         """Host entropy decode for one AAC batch -> ONE packed h2d buffer
