@@ -243,3 +243,18 @@ def test_batched_binaural_hrtf_h2b_matches_serial():
         stream, binaural=True, batch_frames=4).decode_all())
     assert out.shape == serial.shape
     assert_close(out, serial, max_lsb=1, frac=0)
+
+
+def test_batched_binaural_two_elements_m2b_h2b():
+    """Mixed M2B (stereo bed) + H2B (FOA -> 7.1.2 bed) elements in ONE
+    batched program: per-element HRIR banks/overlap carries, psum-style mix
+    of the two [2, T] contributions — vs the serial path."""
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    stream, _, _ = vectors.build_two_element_stream(
+        n_frames=7, gain2_q78=-(3 << 8), hrm=1)
+    serial = ours_decode(stream, binaural=True)
+    out = np.asarray(BatchedStreamDecoder(
+        stream, binaural=True, batch_frames=3).decode_all())
+    assert out.shape == serial.shape
+    assert_close(out, serial, max_lsb=1, frac=0)

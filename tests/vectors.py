@@ -602,6 +602,7 @@ def build_two_element_stream(
     gain1_q78: int = 0,
     gain2_q78: int = 0,
     target_layouts=(0, 1),
+    hrm: int = 0,  # headphones_rendering_mode for BOTH elements
 ) -> tuple[bytes, np.ndarray, np.ndarray]:
     """Base-profile mix: stereo channel element + FOA ambisonics element in
     one sub mix (the reference mixer path, IAMF_decoder.c:2702-2733)."""
@@ -640,11 +641,13 @@ def build_two_element_stream(
                 element_id=1,
                 mix_gain_param=builder.ParamDefinition(id=100),
                 default_mix_gain_q78=gain1_q78,
+                headphones_rendering_mode=hrm,
             ),
             builder.MixElementSpec(
                 element_id=2,
                 mix_gain_param=builder.ParamDefinition(id=101),
                 default_mix_gain_q78=gain2_q78,
+                headphones_rendering_mode=hrm,
             ),
         ],
         layouts=[builder.LayoutSpec(sound_system=ss) for ss in target_layouts],
