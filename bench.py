@@ -160,9 +160,9 @@ def aggregate_decode(stream: bytes, sound_system: int, n_streams: int):
     return time.perf_counter() - t0
 
 
-def run_codec_stage(result, name, stream, sound_system, n_streams,
-                    audio_s):
-    """Device-resident + aggregate numbers for one codec content type."""
+def run_codec_stage(result, name, stream, sound_system, n_streams):
+    """Device-resident + aggregate numbers for one codec content type;
+    returns the content's true audio seconds."""
     log(f"{name}: compile (cache-backed) + warm-up decode")
     time_decodes(stream, sound_system, 1, False, 30)
     log(f"{name}: timed decodes (device-resident)")
@@ -176,6 +176,7 @@ def run_codec_stage(result, name, stream, sound_system, n_streams,
     log(f"{name}: device-only "
         f"{result.get(f'{name}_device_only_realtime_x')}x, aggregate "
         f"{result.get(f'{name}_aggregate_device_realtime_x')}x")
+    return a_s
 
 
 def reference_rate(stream: bytes, sound_system: int, audio_seconds: float):
@@ -258,10 +259,11 @@ def main() -> None:
             n_streams * audio_s / agg_s, 2)
         log(f"pcm: aggregate {result['aggregate_device_realtime_x']}x")
 
+    opus_audio_s = audio_s
     if opus_stream is not None and remaining() > 120:
         try:
-            run_codec_stage(result, "opus", opus_stream, sound_system,
-                            n_streams, audio_s)
+            opus_audio_s = run_codec_stage(
+                result, "opus", opus_stream, sound_system, n_streams)
         except Exception as e:
             log(f"opus stage failed: {e}")
             result["opus_error"] = str(e)[:200]
@@ -269,7 +271,7 @@ def main() -> None:
         try:
             aac_stream = build_stream(seconds, "aac")
             run_codec_stage(result, "aac", aac_stream, sound_system,
-                            n_streams, audio_s)
+                            n_streams)
         except Exception as e:
             log(f"aac stage failed: {e}")
             result["aac_error"] = str(e)[:200]
@@ -317,9 +319,9 @@ def main() -> None:
                     (audio_s * 48000 / 960) / e2e_s, 1)
                 log(f"pcm: e2e {result['value']}x")
             if opus_stream is not None and remaining() > 45:
-                e2e_s, _ = time_decodes(opus_stream, sound_system, 1,
-                                        True, 30)
-                result["opus_realtime_x"] = round(audio_s / e2e_s, 2)
+                e2e_s, opus_audio_s = time_decodes(
+                    opus_stream, sound_system, 1, True, 30)
+                result["opus_realtime_x"] = round(opus_audio_s / e2e_s, 2)
                 log(f"opus: e2e {result['opus_realtime_x']}x")
         except Exception as e:
             log(f"e2e stage failed: {e}")
@@ -343,7 +345,7 @@ def main() -> None:
                 result["aggregate_speedup_vs_reference"] = round(
                     result["aggregate_device_realtime_x"] / ref, 2)
     if remaining() > 30 and opus_stream is not None:
-        ref_o = reference_rate(opus_stream, sound_system, audio_s)
+        ref_o = reference_rate(opus_stream, sound_system, opus_audio_s)
         if ref_o:
             result["reference_player_opus_realtime_x"] = round(ref_o, 2)
             if "opus_aggregate_device_realtime_x" in result:

@@ -284,8 +284,11 @@ class TPUOpusStream:
         if not frames:
             return np.zeros((0, self.lanes, 960), np.float32)
         d = self.dec.decode_spectrum_batch(frames)
+        # d["freq"] is a strided view into the [B, L, 969] backing array;
+        # materialize it contiguously once for the h2d put
         params = self._synth.SynthParams(
-            freq=jnp.asarray(d["freq"]), transient=jnp.asarray(d["transient"]),
+            freq=jnp.asarray(np.ascontiguousarray(d["freq"])),
+            transient=jnp.asarray(d["transient"]),
             t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
             g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
         chunk = self._synth.pick_chunk(d["min_period"])

@@ -270,11 +270,14 @@ def _deemphasis(z, m0):
     return out, demem
 
 
-# packed-buffer column indices after the FRAME spectrum columns (consumed
-# by unpack_buf below and by the sharded decoder's neutral lane padding)
+# packed-buffer column layout after the FRAME spectrum columns (written by
+# pack_params, read by unpack_buf, and used by the sharded decoder's
+# neutral lane padding) — keep these three in sync
 PACKED_TRANSIENT = FRAME
 PACKED_T_CUR = FRAME + 1
 PACKED_T_NEW = FRAME + 2
+PACKED_G_CUR = FRAME + 3  # 3 columns
+PACKED_G_NEW = FRAME + 6  # 3 columns
 
 
 def pack_params(d: dict) -> np.ndarray:
@@ -285,11 +288,11 @@ def pack_params(d: dict) -> np.ndarray:
     <= 1024 and gains are Q15-derived — exact in float32."""
     B, L = d["transient"].shape
     out = np.empty((B, L, 9), np.float32)
-    out[..., 0] = d["transient"]
-    out[..., 1] = d["t_cur"]
-    out[..., 2] = d["t_new"]
-    out[..., 3:6] = d["g_cur"]
-    out[..., 6:9] = d["g_new"]
+    out[..., PACKED_TRANSIENT - FRAME] = d["transient"]
+    out[..., PACKED_T_CUR - FRAME] = d["t_cur"]
+    out[..., PACKED_T_NEW - FRAME] = d["t_new"]
+    out[..., PACKED_G_CUR - FRAME:PACKED_G_CUR - FRAME + 3] = d["g_cur"]
+    out[..., PACKED_G_NEW - FRAME:PACKED_G_NEW - FRAME + 3] = d["g_new"]
     return out
 
 
@@ -342,14 +345,13 @@ def _synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
 def unpack_buf(buf) -> SynthParams:
     """[B, L, 969] packed buffer (see pack_params) -> SynthParams."""
     freq = buf[..., :FRAME]
-    packed = buf[..., FRAME:]
     return SynthParams(
         freq=freq,
-        transient=packed[..., 0] != 0,
-        t_cur=packed[..., 1].astype(jnp.int32),
-        t_new=packed[..., 2].astype(jnp.int32),
-        g_cur=packed[..., 3:6],
-        g_new=packed[..., 6:9],
+        transient=buf[..., PACKED_TRANSIENT] != 0,
+        t_cur=buf[..., PACKED_T_CUR].astype(jnp.int32),
+        t_new=buf[..., PACKED_T_NEW].astype(jnp.int32),
+        g_cur=buf[..., PACKED_G_CUR:PACKED_G_CUR + 3],
+        g_new=buf[..., PACKED_G_NEW:PACKED_G_NEW + 3],
     )
 
 

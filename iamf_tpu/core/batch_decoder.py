@@ -500,10 +500,14 @@ class BatchedStreamDecoder:
         d = e.codec.decode_spectrum_batch(blk)
         pad = B - count
         if pad:
+            # 'freq' is a view into freq_ext: padding the backing array
+            # and rebinding the view covers it without a second multi-MB
+            # spectra copy
             padded = {
                 k: np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
-                for k, v in d.items() if isinstance(v, np.ndarray)
+                for k, v in d.items()
+                if isinstance(v, np.ndarray) and k != "freq"
             }
             padded["t_cur"] = np.maximum(padded["t_cur"], 15)
             padded["t_new"] = np.maximum(padded["t_new"], 15)
