@@ -243,6 +243,8 @@ class LayoutSpec:
     digital_peak_q78: int = 0
     info_type: int = 0
     true_peak_q78: int = 0
+    anchors: tuple = ()  # (anchor_element u8, anchored_loudness q78) pairs
+    #   written when info_type & 2 (anchored loudness)
 
 
 def mix_presentation_obu(
@@ -296,7 +298,10 @@ def mix_presentation_obu(
         if lay.info_type & 1:
             w.s16(lay.true_peak_q78)
         if lay.info_type & 2:
-            w.u8(0)
+            w.u8(len(lay.anchors))
+            for elem, q78 in lay.anchors:
+                w.u8(elem)
+                w.s16(q78)
     return obu_wrap(OBUType.MIX_PRESENTATION, w.bytes(), redundant=redundant)
 
 

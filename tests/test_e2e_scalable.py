@@ -57,3 +57,16 @@ def test_scalable_recon_gain_smoothing(tmp_path):
     ref = ref_decode(stream, tmp_path, sound_system="1")
     ours = ours_decode(stream, 1)
     assert_close(ours, ref, max_lsb=1, frac=0)
+
+
+def test_scalable_layer_output_gain(tmp_path):
+    """Layer with output_gain_is_present_flag: flagged channels are gained
+    UP by the demixer (output-gain-up, demixer.c:421-430) — vs reference."""
+    from test_e2e_pcm import ours_decode, ref_decode
+
+    stream, _ = vectors.build_scalable_pcm_stream(
+        n_frames=4, layer2_output_gain=(0b110000, -768))
+    ref = ref_decode(stream, tmp_path, sound_system="1")
+    ours = ours_decode(stream, 1)
+    assert ours.shape == ref.shape
+    assert_close(ours, ref, max_lsb=1, frac=0)

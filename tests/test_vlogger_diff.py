@@ -183,3 +183,29 @@ def test_vlog_mp4_edit_list(tmp_path):
     with open(ours_log) as f:
         got = f.read()
     assert golden and got == golden
+
+
+def test_vlog_layer_output_gain(tmp_path):
+    """Scalable layer with output_gain_is_present_flag: the writer's
+    output_gain_flag/output_gain fields (vlogging_tool_sr.c:595-601)."""
+    stream, _ = vectors.build_scalable_pcm_stream(
+        n_frames=2, layer2_output_gain=(0b110000, -768))
+    assert_vlog_identical(stream, tmp_path)
+
+
+def test_vlog_loudness_true_peak_and_anchors(tmp_path):
+    """Loudness info_type 3: true_peak + anchored loudness entries
+    (vlogging_tool_sr.c:775-800)."""
+    from iamf_tpu.tools import builder
+
+    specs = [
+        builder.LayoutSpec(sound_system=0, info_type=3,
+                           integrated_loudness_q78=-4096,
+                           digital_peak_q78=-512, true_peak_q78=-256,
+                           anchors=((1, -384), (2, -640))),
+        builder.LayoutSpec(sound_system=1, info_type=1,
+                           true_peak_q78=-128),
+    ]
+    stream, _ = vectors.build_pcm_layout_stream(
+        1, n_frames=2, layout_specs=specs)  # stereo
+    assert_vlog_identical(stream, tmp_path)

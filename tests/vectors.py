@@ -102,6 +102,7 @@ def build_pcm_layout_stream(
     mix_gain_segments=None,  # per-frame element mix-gain segment dicts
     out_gain_segments=None,  # per-frame output mix-gain segment dicts
     hrm: int = 0,  # headphones_rendering_mode (1 => HRTF conv binaural)
+    layout_specs=None,  # override the sub-mix LayoutSpec list
 ) -> tuple[bytes, np.ndarray]:
     """Single-layer channel-based ipcm stream for any IA layout.
 
@@ -148,8 +149,9 @@ def build_pcm_layout_stream(
                 headphones_rendering_mode=hrm,
             )
         ],
-        layouts=[builder.LayoutSpec(sound_system=0),
-                 builder.LayoutSpec(sound_system=1)],
+        layouts=(layout_specs if layout_specs is not None
+                 else [builder.LayoutSpec(sound_system=0),
+                       builder.LayoutSpec(sound_system=1)]),
     )
     for f in range(n_frames):
         if demix_modes is not None and demix is not None:
@@ -212,6 +214,7 @@ def build_scalable_pcm_stream(
     target_layouts=(1, 0),
     seed: int = 7,
     hrm: int = 0,  # headphones_rendering_mode (1 => HRTF conv binaural)
+    layer2_output_gain=None,  # (flags 6-bit, gain q7.8) on the 5.1 layer
 ) -> tuple[bytes, np.ndarray]:
     """Two-layer scalable channel stream: stereo layer + 5.1 layer.
 
@@ -247,7 +250,10 @@ def build_scalable_pcm_stream(
         layers=[
             builder.LayerSpec(ChannelLayout.STEREO, 1, 1),
             builder.LayerSpec(
-                ChannelLayout.L510, 3, 1, recon_gain_flag=True
+                ChannelLayout.L510, 3, 1, recon_gain_flag=True,
+                **(dict(output_gain_flags=layer2_output_gain[0],
+                        output_gain_q78=layer2_output_gain[1])
+                   if layer2_output_gain else {}),
             ),
         ],
         demix_param=demix,
