@@ -344,7 +344,13 @@ class MP4VLogger:
                      f"TrackID: {_u(d, b + 4, 4) & 0xFFFFFF}"]
             off = b + 8
             if flags & 0x01:
-                off += 8  # BaseDataOffset (malformed %0x08x in reference)
+                # reference prints the 64-bit BaseDataOffset through the
+                # malformed format "%0x08x,%08x" (:464): "%0x" renders the
+                # high word as bare hex, "08x," is literal, low word is
+                # zero-padded hex — replicated byte-for-byte
+                hi, lo = _u(d, off, 4), _u(d, off + 4, 4)
+                lines.append(f"BaseDataOffset: {hi:x}08x,{lo:08x}")
+                off += 8
             if flags & 0x02:
                 lines.append(f"SampleDescriptionIndex: {_u(d, off, 4)}")
                 off += 4

@@ -50,6 +50,11 @@ class Track:
     # flattened per-sample (offset, size, sample_desc_index)
     samples: list = dataclasses.field(default_factory=list)
     deltas: list = dataclasses.field(default_factory=list)
+    # fMP4: (moof_start, moof_end, samples_in_fragment) per moof — used by
+    # the vlogger to interleave box logs with packet OBU logs in the
+    # reference verifier's parse order (moof boxes log when the previous
+    # fragment's samples are exhausted, mp4demux.c mp4demux_parse)
+    fragments: list = dataclasses.field(default_factory=list)
 
 
 class MP4Demuxer:
@@ -248,6 +253,7 @@ class MP4Demuxer:
             if btype != b"moof":
                 continue
             moof_start = body - 8
+            n_before = len(trk.samples)
             for bt2, b2, e2 in self._boxes(body, bend):
                 if bt2 != b"traf":
                     continue
@@ -297,6 +303,8 @@ class MP4Demuxer:
                             trk.samples.append((pos, size, len(trk.entries)))
                             trk.deltas.append(dur)
                             pos += size
+            trk.fragments.append(
+                (moof_start, bend, len(trk.samples) - n_before))
 
     # -- public -----------------------------------------------------------
 

@@ -468,12 +468,28 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
         gathered data."""
         xs = [x[0] for x in xs]
         x_list = _stage12(xs, vary_axes=("frames", "substreams"))
+        si = jax.lax.axis_index("substreams")
         for i in range(n_e):
-            g = jax.lax.all_gather(
-                x_list[i], "substreams", axis=1, tiled=True)
+            # gather-as-psum: each row scatters its lane slab at its mesh
+            # offset and the psum reassembles the full element on every
+            # row. Unlike all_gather (whose output keeps the 'substreams'
+            # varying tag the checker cannot discharge), psum provably
+            # REMOVES the axis, so check_vma stays enabled for this
+            # variant; the re-pvary below is the legal replicated->varying
+            # cast for the downstream shared stages.
+            loc = x_list[i]
+            ll = loc.shape[1]
+            full = jnp.zeros(
+                loc.shape[:1] + (ll * n_sshards,) + loc.shape[2:],
+                loc.dtype)
+            full = jax.lax.dynamic_update_slice_in_dim(
+                full, loc, si * ll, axis=1)
+            g = jax.lax.psum(full, "substreams")
             x_list[i] = g[:, :lanes[i]]  # drop the divisibility padding
-        pcm, final = _stage34(x_list, params,
-                              vary_axes=("frames", "substreams"))
+        # post-psum values are provably replicated over 'substreams', so
+        # the shared stages run frames-varying only and the out_specs'
+        # substreams replication type-checks
+        pcm, final = _stage34(x_list, params)
         return pcm[None], jax.tree.map(lambda a: a[None], final)
 
     def local_elements(xs, params):
@@ -553,9 +569,10 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
             elif kinds[i] == "aac":
                 from ..codecs.aac import tpu_synth as aac_synth
 
-                lanes = xs[i].shape[1]
+                nl = xs[i].shape[1]  # nl, not `lanes`: don't shadow the
+                #   per-element lane tuple local_substreams indexes
                 x_a, _ = aac_synth.synthesize_packed(
-                    xs[i], aac_synth.init_carry(lanes))
+                    xs[i], aac_synth.init_carry(nl))
                 x_i = x_a[prerolls[i]:]
             else:
                 x_i = xs[i][prerolls[i]:]
@@ -622,12 +639,5 @@ def _sharded_program(mesh: Mesh, cfg: PipelineConfig, n_shards: int,
 
     fn = (local_elements if n_eshards > 1
           else local_substreams if n_sshards > 1 else local)
-    kw = {}
-    if n_sshards > 1:
-        # every substream row computes the identical gathered mix; the
-        # varying-axis checker cannot statically prove that replication
-        # (all_gather keeps the 'substreams' varying tag), so it is
-        # disabled for this variant only
-        kw["check_vma"] = False
     return jax.jit(jax.shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw))
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs))

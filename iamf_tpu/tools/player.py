@@ -118,7 +118,7 @@ def soak_sound_systems(args) -> int:
     segments = []
     chunks = []
     frames = 0
-    cur = "0"
+    cur = 0  # int, matching SoundSystem values (plus the "b" binaural pick)
     interval = 25  # ~0.5 s of 960-sample frames
     while pos < len(data):
         if frames and frames % interval == 0:
@@ -222,6 +222,11 @@ def main(argv=None) -> int:
 
             mp4 = MP4IAMFParser(args.input)
             with open(args.v, "w") as out:
+                # whole-file box walk first, OBU logs after: the reference
+                # verifier's open-time parse walks every box — including
+                # ALL moofs of a fragmented file — before the decoder sees
+                # the descriptors (mp4demux.c open parse; verified against
+                # the verifier build on fMP4 content in test_vlogger_diff)
                 n = vlog_mp4(raw, out)
                 v = VLogger(out)
                 for obu in obu_parser.iter_obus(

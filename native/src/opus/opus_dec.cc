@@ -249,6 +249,14 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
     d->plc_gain *= 0.5f;
     for (int i = 0; i < n * d->channels; ++i)
       out[i] = d->last_frame[i] * d->plc_gain;
+    // concealed frames take the same output tail as normal frames
+    // (soft clip + s16 round-trip, IAMF_opus_decoder.c:130-136); the
+    // snapshot is post-quantize so the fade multiplies in-range values
+    if (!getenv("IAMF_NO_CLIP")) {
+      pcm_soft_clip(out, n, d->channels, d->softclip_mem);
+      for (int i = 0; i < n * d->channels; ++i)
+        out[i] = float2int16(out[i]) / 32768.f;
+    }
     return n;
   }
   PacketInfo pi;
@@ -381,12 +389,6 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
     d->prev_mode = pi.mode;
     d->prev_redundancy = redundancy && !celt_to_silk;
   }
-  // remember the last decoded frame for packet-loss concealment
-  if (total > 0 && total <= 2880) {
-    memcpy(d->last_frame, out, sizeof(float) * total * d->channels);
-    d->last_samples = total;
-    d->plc_gain = 1.f;
-  }
   // match reference: soft clip + s16 quantize + scale back
   // (the reference wrapper uses the opus s16 decode API,
   // IAMF_opus_decoder.c:130-136, which soft-clips in the float build)
@@ -394,6 +396,13 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
     pcm_soft_clip(out, total, d->channels, d->softclip_mem);
     for (int i = 0; i < total * d->channels; ++i)
       out[i] = float2int16(out[i]) / 32768.f;
+  }
+  // remember the last decoded frame (post-quantize, so concealment
+  // replays exactly what the caller last heard) for packet loss
+  if (total > 0 && total <= 2880) {
+    memcpy(d->last_frame, out, sizeof(float) * total * d->channels);
+    d->last_samples = total;
+    d->plc_gain = 1.f;
   }
   return total;
 }

@@ -113,61 +113,10 @@ def test_stage_timer():
     assert "decode" in rep and "TOTAL" in rep and "x20" in rep
 
 
-class TestParallelStrategies:
-    """SURVEY §2.4: substream (TP), time (SP halo), and stage (PP)
-    parallelism on the virtual device mesh, each validated against the
-    single-device computation."""
-
-    def test_substream_parallel_render(self):
-        import jax, numpy as np
-        from jax.sharding import Mesh
-        from iamf_tpu.parallel import sharded_pipeline as sp
-
-        mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("substreams",))
-        rng = np.random.default_rng(0)
-        x = rng.standard_normal((8, 64)).astype(np.float32)
-        mat = rng.standard_normal((12, 8)).astype(np.float32)
-        fn = sp.substream_parallel_render(mesh, mat)
-        got = np.asarray(fn(x, mat))
-        want = mat @ x
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-    def test_time_sharded_limiter_matches_serial(self):
-        import jax, numpy as np
-        from jax.sharding import Mesh
-        from iamf_tpu.parallel import sharded_pipeline as sp
-        from iamf_tpu.dsp.limiter import LimiterConfig, Limiter
-
-        cfg = LimiterConfig(channels=2, delay_size=16)
-        mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("time",))
-        fn = sp.time_sharded_limiter(mesh, cfg)
-        rng = np.random.default_rng(1)
-        # below threshold: overlap-save is exact
-        x = (rng.standard_normal((2, 512)) * 0.2).astype(np.float32)
-        got = np.asarray(fn(x))
-        # serial reference: below threshold the limiter is a pure
-        # delay_size-sample delay line (gain 1)
-        want = np.concatenate(
-            [np.zeros((2, cfg.delay_size), np.float32),
-             x[:, :-cfg.delay_size]], axis=1)
-        np.testing.assert_allclose(got, want, atol=1e-6)
-
-    def test_two_stage_pipeline(self):
-        import jax, numpy as np
-        from jax.sharding import Mesh
-        from iamf_tpu.parallel import sharded_pipeline as sp
-        from iamf_tpu.dsp.quantize import quantize_interleave
-
-        mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("stage",))
-        rng = np.random.default_rng(2)
-        x = (rng.standard_normal((6, 8, 32)) * 0.1).astype(np.float32)
-        mat = (rng.standard_normal((12, 8)) * 0.2).astype(np.float32)
-        fn = sp.two_stage_pipeline(mesh, mat)
-        got = np.asarray(fn(x))
-        want = np.stack(
-            [np.asarray(quantize_interleave(mat @ x[m], 16))
-             for m in range(x.shape[0])])
-        np.testing.assert_array_equal(got, want)
+# SURVEY §2.4 parallel strategies (substream/TP, time/SP halo, stage/PP)
+# are covered on the REAL decoder in tests/test_sharded_decoder.py (the
+# round-1 synthetic-matrix demos in parallel/sharded_pipeline.py were
+# folded into that coverage and removed).
 
 
 def test_reconfigure_none_stream_reuse():

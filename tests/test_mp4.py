@@ -64,6 +64,17 @@ def test_mp4_decode_matches_bitstream(tmp_path):
     assert_bitexact(ours, ref)
 
 
+def test_fmp4_decode_matches_bitstream(tmp_path):
+    """Fragmented input (moof/traf/tfhd/trun, incl. tfhd base-data-offset):
+    decode must be bit-exact vs the reference player AND vs the same
+    stream decoded from raw bitstream form."""
+    stream, _ = vectors.build_pcm_51_stream(n_frames=8)
+    mp4 = vectors.build_fmp4(stream, fragments=3, base_data_offset=True)
+    ref = ref_decode_mp4(mp4, tmp_path, "1")
+    ours = ours_decode_mp4(mp4, tmp_path, 1)
+    assert_bitexact(ours, ref)
+
+
 def test_mp4_seek(tmp_path):
     """-ts seek: walk sample deltas, decode from the target."""
     # reference -ts takes integer seconds (strtoul, iamfplayer.c:867)

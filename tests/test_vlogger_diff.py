@@ -185,6 +185,42 @@ def test_vlog_mp4_edit_list(tmp_path):
     assert golden and got == golden
 
 
+def test_vlog_fmp4_base_data_offset(tmp_path):
+    """Fragmented MP4 with tfhd base-data-offset: moof/traf/tfhd/trun box
+    logs interleave with the per-fragment packet OBU logs in the
+    verifier's parse order, and the tfhd BaseDataOffset line replicates
+    the reference's malformed "%0x08x,%08x" format
+    (vlogging_iamfmp4_sr.c:464) byte-for-byte."""
+    if not os.path.exists(REF_VER):
+        pytest.skip("reference verifier player not built")
+    stream, _ = vectors.build_pcm_stereo_stream(n_frames=4)
+    mp4 = vectors.build_fmp4(stream, fragments=2, base_data_offset=True)
+    path = os.path.join(str(tmp_path), "f.mp4")
+    with open(path, "wb") as f:
+        f.write(mp4)
+    golden_log = os.path.join(str(tmp_path), "golden.yaml")
+    subprocess.run(
+        [REF_VER, "-i1", "-o2", "-s0", "-v", golden_log, "f.mp4"],
+        cwd=str(tmp_path), capture_output=True, timeout=120)
+    ours_log = os.path.join(str(tmp_path), "ours.yaml")
+    from iamf_tpu.tools.player import main as player_main
+
+    player_main(["-i", "1", "-o", "0", "-s", "0", "-v", ours_log, path])
+    with open(golden_log) as f:
+        golden = f.read()
+    with open(ours_log) as f:
+        got = f.read()
+    assert golden, "reference wrote no log"
+    assert "BaseDataOffset" in golden
+    if got != golden:
+        import difflib
+
+        d = "\n".join(difflib.unified_diff(
+            golden.splitlines(), got.splitlines(),
+            "reference", "ours", lineterm="", n=2))
+        raise AssertionError(f"fmp4 vlog differs:\n{d[:4000]}")
+
+
 def test_vlog_layer_output_gain(tmp_path):
     """Scalable layer with output_gain_is_present_flag: the writer's
     output_gain_flag/output_gain fields (vlogging_tool_sr.c:595-601)."""

@@ -577,6 +577,17 @@ def build_mp4(stream: bytes, frame_size: int = 960, media_time: int = 0) -> byte
     )
 
 
+def build_fmp4(stream: bytes, frame_size: int = 960, fragments: int = 2,
+               base_data_offset: bool = False) -> bytes:
+    from iamf_tpu.tools.mp4builder import mux_iamf_fmp4
+
+    descriptors, units = split_into_units(stream)
+    return mux_iamf_fmp4(
+        descriptors, units, frame_size=frame_size, fragments=fragments,
+        base_data_offset=base_data_offset,
+    )
+
+
 def decode_with_reference(
     player: str, stream: bytes, workdir: str, sound_system: str = "0",
     extra_args: tuple = (), name: str = "vec",
