@@ -63,6 +63,12 @@ def enable_compile_cache() -> None:
     fresh clone pays one cold compile per program variant."""
     import jax
 
+    if os.environ.get("BENCH_CPU"):
+        # logic/dry-run mode: keep the bench off the tunneled TPU
+        # (sitecustomize pins the axon platform; the config update below
+        # must run before any backend use)
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = os.environ.get(
         "IAMF_JAX_CACHE", os.path.join(REPO, ".jax_cache"))
     try:
@@ -115,25 +121,50 @@ def build_stream(seconds: float, content: str):
     if content == "aac":
         return vectors.build_aac_layout_stream(
             ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size)[0]
+    if content == "flac":
+        # BASELINE config 2: FLAC lossless 5.1 -> sound system B, bit-exact
+        return vectors.build_flac_layout_stream(
+            ChannelLayout.L510, n_frames=n_frames)[0]
+    if content == "scalable_mp4":
+        # BASELINE config 4: multi-layer scalable channel audio demixed
+        # from mp4 input with seek (-i1 -ts)
+        stream, _ = vectors.build_scalable_pcm_stream(
+            n_frames=n_frames,
+            demix_modes=[f % 3 for f in range(n_frames)])
+        return vectors.build_mp4(stream)
+    if content == "binaural":
+        # BASELINE config 5: binaural output; headphones_rendering_mode=1
+        # engages the batched HRTF overlap-save convolution path
+        return vectors.build_pcm_layout_stream(
+            ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size,
+            amp=0.5, hrm=1)[0]
     return vectors.build_pcm_layout_stream(
         ChannelLayout.L714, n_frames=n_frames, frame_size=frame_size,
         amp=0.5)[0]
 
 
 def time_decodes(stream: bytes, sound_system: int, repeats: int,
-                 fetch: bool, min_tail: float):
+                 fetch: bool, min_tail: float, **dec_kw):
     """Best-of-N full decodes (fresh decoder each time: host OBU routing +
     codec unpack included, stream synthesis excluded). Degrades the repeat
     count against the deadline; returns (best_seconds, audio_seconds) —
     audio_seconds is the TRUE stream duration (n_frames * frame_size), not
-    the zero-padded device batch rows."""
+    the zero-padded device batch rows. dec_kw passes decoder options
+    (binaural=True, mp4_path=..., start_sec=...) for the config stages."""
     from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
 
+    mp4_path = dec_kw.pop("mp4_path", None)
+    start_sec = dec_kw.pop("start_sec", 0.0)
     times = []
     audio_s = 0.0
     for _ in range(repeats):
-        d = BatchedStreamDecoder(stream, sound_system=sound_system,
-                                 batch_frames=128)
+        if mp4_path is not None:
+            d = BatchedStreamDecoder.from_mp4(
+                mp4_path, start_sec=start_sec, sound_system=sound_system,
+                batch_frames=128, **dec_kw)
+        else:
+            d = BatchedStreamDecoder(stream, sound_system=sound_system,
+                                     batch_frames=128, **dec_kw)
         audio_s = d.n_frames * d.frame_size / 48000.0
         t0 = time.perf_counter()
         d.decode_all(fetch=fetch)
@@ -179,7 +210,8 @@ def run_codec_stage(result, name, stream, sound_system, n_streams):
     return a_s
 
 
-def reference_rate(stream: bytes, sound_system: int, audio_seconds: float):
+def reference_rate(stream: bytes, sound_system, audio_seconds: float,
+                   mp4: bool = False, extra: tuple = ()):
     """Time the reference iamfplayer on the same stream (context: its
     implied design point is faster-than-realtime single-core decode)."""
     ref_bin = "/tmp/refplayer_std/iamfplayer"
@@ -188,15 +220,40 @@ def reference_rate(stream: bytes, sound_system: int, audio_seconds: float):
     import tempfile
 
     d = tempfile.mkdtemp()
-    path = os.path.join(d, "bench.iamf")
-    with open(path, "wb") as f:
+    name = "bench.mp4" if mp4 else "bench.iamf"
+    with open(os.path.join(d, name), "wb") as f:
         f.write(stream)
     # -o2 (wav output) is required: the reference player skips decoding
     # entirely for any other output mode (iamfplayer.c:908-918)
+    cmd = [ref_bin] + (["-i1"] if mp4 else []) + [
+        "-o2", f"-s{sound_system}", *extra, name]
     t0 = time.perf_counter()
-    subprocess.run([ref_bin, "-o2", f"-s{sound_system}", "bench.iamf"],
-                   cwd=d, capture_output=True, timeout=300)
+    subprocess.run(cmd, cwd=d, capture_output=True, timeout=300)
     return audio_seconds / (time.perf_counter() - t0)
+
+
+def run_config_stage(result, name, stream, sound_system, *, ref_kw=None,
+                     **dec_kw):
+    """BASELINE config coverage: device-resident realtime-x for one config
+    class + the reference player's rate on the same content (when the
+    reference supports it). One warm-up (compile, cache-backed) + up to 2
+    timed decodes; every step deadline-gated."""
+    log(f"{name}: compile (cache-backed) + warm-up decode")
+    time_decodes(stream, sound_system, 1, False, 25, **dec_kw)
+    reps = 2 if remaining() > 90 else 1
+    dev_s, a_s = time_decodes(stream, sound_system, reps, False, 40,
+                              **dec_kw)
+    result[f"{name}_device_only_realtime_x"] = round(a_s / dev_s, 2)
+    msg = f"{name}: device-only {result[f'{name}_device_only_realtime_x']}x"
+    if ref_kw is not None and remaining() > 30:
+        ref = reference_rate(stream, audio_seconds=a_s, **ref_kw)
+        if ref:
+            result[f"reference_player_{name}_realtime_x"] = round(ref, 2)
+            result[f"{name}_speedup_vs_reference"] = round(
+                result[f"{name}_device_only_realtime_x"] / ref, 2)
+            msg += (f" (reference {ref:.1f}x -> "
+                    f"{result[f'{name}_speedup_vs_reference']}x)")
+    log(msg)
 
 
 def main() -> None:
@@ -267,14 +324,74 @@ def main() -> None:
         except Exception as e:
             log(f"opus stage failed: {e}")
             result["opus_error"] = str(e)[:200]
-    if content == "aac" and remaining() > 120:
+    if remaining() > 150:
+        # BASELINE config 3 class: AAC-LC -> sound system J with the peak
+        # limiter engaged (default) — device filterbank + host entropy
         try:
-            aac_stream = build_stream(seconds, "aac")
+            aac_seconds = seconds if content == "aac" else min(seconds, 10)
+            aac_stream = build_stream(aac_seconds, "aac")
             run_codec_stage(result, "aac", aac_stream, sound_system,
-                            n_streams)
+                            n_streams if content == "aac" else 0)
         except Exception as e:
             log(f"aac stage failed: {e}")
             result["aac_error"] = str(e)[:200]
+
+    # ---- remaining BASELINE config classes (2, 4, 5): device-resident
+    # realtime-x + reference ratio each, short content, deadline-gated ----
+    cfg_seconds = min(seconds, 10)
+    if remaining() > 120:
+        try:  # config 2: FLAC lossless 5.1 -> sound system B
+            flac_stream = build_stream(cfg_seconds, "flac")
+            run_config_stage(result, "flac", flac_stream, 1,
+                             ref_kw={"sound_system": 1})
+        except Exception as e:
+            log(f"flac stage failed: {e}")
+            result["flac_error"] = str(e)[:200]
+    if remaining() > 100:
+        try:  # config 4: scalable multi-layer from mp4 with -ts seek
+            mp4_bytes = build_stream(cfg_seconds, "scalable_mp4")
+            import tempfile
+
+            mp4_path = os.path.join(tempfile.mkdtemp(), "bench.mp4")
+            with open(mp4_path, "wb") as f:
+                f.write(mp4_bytes)
+            run_config_stage(
+                result, "scalable_mp4_seek", mp4_bytes, 7,
+                mp4_path=mp4_path, start_sec=1.0,
+                ref_kw={"sound_system": 7, "mp4": True,
+                        "extra": ("-ts", "1")})
+        except Exception as e:
+            log(f"scalable mp4 stage failed: {e}")
+            result["scalable_mp4_error"] = str(e)[:200]
+    if remaining() > 80:
+        try:  # config 5: binaural (batched HRTF overlap-save conv path).
+            # The reference build has the binauralizer compiled out
+            # (DISABLE_BINAURALIZER=1) and renders -sb via the M2M matrix;
+            # its rate is reported for the same content class.
+            bin_stream = build_stream(cfg_seconds, "binaural")
+            run_config_stage(result, "binaural", bin_stream, 0,
+                             binaural=True,
+                             ref_kw={"sound_system": "b"})
+        except Exception as e:
+            log(f"binaural stage failed: {e}")
+            result["binaural_error"] = str(e)[:200]
+
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if "--profile" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+    if profile_dir and remaining() > 60:
+        # SURVEY §5 tracing: capture a jax.profiler trace of one
+        # device-resident decode (viewable in TensorBoard / Perfetto)
+        try:
+            import jax
+
+            log(f"profiler: tracing one pcm decode -> {profile_dir}")
+            with jax.profiler.trace(profile_dir):
+                time_decodes(pcm_stream, sound_system, 1, False, 45)
+            result["profile_dir"] = profile_dir
+        except Exception as e:
+            log(f"profiler capture failed: {e}")
+            result["profile_error"] = str(e)[:200]
 
     # ---- e2e (PCM fetched to host): pay the one-time d2h stall first.
     # Deadline-gated AND exception-guarded: the warm-up stall has been

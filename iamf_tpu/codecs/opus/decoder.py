@@ -58,16 +58,17 @@ def _load_native():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
-    _lib.iamf_opus_decode_spectrum.restype = ctypes.c_int
-    _lib.iamf_opus_decode_spectrum.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(SpectrumMeta),
-    ]
-    _lib.iamf_opus_decode_spectrum_batch.restype = ctypes.c_int
-    _lib.iamf_opus_decode_spectrum_batch.argtypes = [
+    _lib.iamf_opus_decode_spectrum_batch2.restype = ctypes.c_int
+    _lib.iamf_opus_decode_spectrum_batch2.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-        ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(SpectrumMeta),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(SpectrumMeta),
+    ]
+    _lib.iamf_opus_decode_float_batch.restype = ctypes.c_int
+    _lib.iamf_opus_decode_float_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
     return _lib
 
@@ -152,38 +153,80 @@ class OpusDecoder(CodecDecoder):
             samples = r
         return np.concatenate(outs, axis=0).astype(np.float32)
 
-    def decode_spectrum_batch(self, frames):
-        """Entropy-decode a batch of frames to spectra for the device
-        synthesis path (codecs/opus/tpu_synth.py).
+    def classify_packets(self, packets_per_substream, frame_size):
+        """Scan the TOC bytes of every packet (cheap: one byte each) and
+        pick the decode split for this element:
 
-        frames: [B] lists of per-substream packets. Returns a dict of numpy
-        arrays shaped for tpu_synth.SynthParams ([B, L, ...], L = total
-        planar channels, coupled substreams first), plus `postfilter` (bool)
-        and `min_period` for the static chunk pick.
+        - ("celt", N, k): CELT-only stream (configs 16-31) at opus frame
+          size N (120/240/480/960); k = frame_size // N opus frames per
+          IAMF temporal unit -> device spectrum synthesis.
+        - ("hybrid", N, k): hybrid (configs 12-15, N 480/960): SILK half
+          host-decoded (bit-exact), CELT bands 17+ on device.
+        - ("host", frame_size, 1): SILK-only (configs 0-11), mixed-mode/
+          mixed-size streams (their transition redundancy needs host celt
+          synthesis state), or lost packets -> full host decode (still the
+          from-scratch native decoder; the device runs the pipeline).
+
+        Mirrors the reference's single hot loop accepting any TOC
+        (opus_multistream2_decoder.c:125-165) with a static split for the
+        compiled device program.
         """
-        from .tpu_synth import MINPERIOD
+        modes, sizes = set(), set()
+        celt_sizes = (120, 240, 480, 960)
+        for pkts in packets_per_substream:
+            for p in pkts:
+                if p is None or len(p) == 0:
+                    return ("host", frame_size, 1)
+                config = bytes(p[:1])[0] >> 3
+                if config >= 16:
+                    modes.add("celt")
+                    sizes.add(celt_sizes[config & 3])
+                elif config >= 12:
+                    modes.add("hybrid")
+                    sizes.add(960 if config & 1 else 480)
+                else:
+                    return ("host", frame_size, 1)
+        if len(modes) != 1 or len(sizes) != 1:
+            return ("host", frame_size, 1)
+        n = sizes.pop()
+        if frame_size % n:
+            return ("host", frame_size, 1)
+        return (modes.pop(), n, frame_size // n)
+
+    def decode_spectrum_batch(self, frames, n=960, k=1, hybrid=False):
+        """Entropy-decode a batch of temporal units to spectra for the
+        device synthesis path (codecs/opus/tpu_synth.py).
+
+        frames: [B] lists of per-substream packets; each packet carries k
+        opus frames of size n (classify_packets). Returns a dict whose
+        `buf` is the [B*k, L, packed_width(n, hybrid)] h2d backing array
+        (L = total planar channels, coupled substreams first) with the
+        spectra (and hybrid SILK pcm) already in place — the caller packs
+        the 13 per-frame params into columns [n:n+13] via pack_params —
+        plus the param arrays, `postfilter` (bool) and `min_period` for
+        the static chunk pick.
+        """
+        from .tpu_synth import MINPERIOD, N_PARAMS, packed_width
 
         lib = _load_native()
         gains_tab = _gains_table()
         B = len(frames)
+        R = B * k
         L = sum(ch for _, ch in self._decoders)
-        # freq is a view into a [B, L, 969] backing array: the batched
-        # decoder appends pack_params' 9 per-frame values in the trailing
-        # columns and ships ONE h2d buffer without re-copying the 960-wide
-        # spectra (the concatenate cost ~10% of the opus host path)
-        freq_ext = np.zeros((B, L, 969), np.float32)
-        freq = freq_ext[..., :960]
-        transient = np.zeros((B, L), bool)
-        t_cur = np.full((B, L), MINPERIOD, np.int32)
-        t_new = np.full((B, L), MINPERIOD, np.int32)
-        g_cur = np.zeros((B, L, 3), np.float32)
-        g_new = np.zeros((B, L, 3), np.float32)
+        buf = np.zeros((R, L, packed_width(n, hybrid)), np.float32)
+        transient = np.zeros((R, L), bool)
+        t_old = np.full((R, L), MINPERIOD, np.int32)
+        t_cur = np.full((R, L), MINPERIOD, np.int32)
+        t_new = np.full((R, L), MINPERIOD, np.int32)
+        g_old = np.zeros((R, L, 3), np.float32)
+        g_cur = np.zeros((R, L, 3), np.float32)
+        g_new = np.zeros((R, L, 3), np.float32)
 
-        # One native batch call per substream (iamf_opus_decode_spectrum_
-        # batch): substream codec states are independent, so substreams run
-        # on parallel host threads, each a single GIL-free native stretch
-        # over all B frames (the per-frame recurrences — energy prediction,
-        # range-coder reseed — chain inside the call, in frame order).
+        # One native batch call per substream: substream codec states are
+        # independent, so substreams run on parallel host threads, each a
+        # single GIL-free native stretch over all B packets (the per-frame
+        # recurrences — energy prediction, range-coder reseed — chain
+        # inside the call, in frame order).
         lanes = np.cumsum([0] + [ch for _, ch in self._decoders])
 
         def run_substream(i):
@@ -193,36 +236,38 @@ class OpusDecoder(CodecDecoder):
                 raise ValueError("missing opus sub packet")
             blob = b"".join(bytes(p) for p in pkts)
             sizes = np.array([len(p) for p in pkts], np.int32)
-            fout = np.empty((B, ch, 960), np.float32)
-            metas = (SpectrumMeta * B)()
-            r = lib.iamf_opus_decode_spectrum_batch(
+            fout = np.zeros((R, ch, 960), np.float32)
+            sout = np.zeros((R, ch, 960), np.float32) if hybrid else None
+            metas = (SpectrumMeta * R)()
+            r = lib.iamf_opus_decode_spectrum_batch2(
                 ptr, blob, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                B, ch,
-                fout.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), metas)
+                B, k, ch,
+                fout.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                sout.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if hybrid else None,
+                metas)
             if r < 0:
-                # on error the native batch writes the failing frame index
+                # on error the native batch writes the failing packet index
                 # into metas[0].samples and returns the bare error code
                 raise ValueError(
-                    f"opus spectrum decode failed ({r}) at batch frame "
+                    f"opus spectrum decode failed ({r}) at batch packet "
                     f"{metas[0].samples} of substream {i}")
             sl = slice(lanes[i], lanes[i + 1])
-            freq[:, sl] = fout
+            buf[:, sl, :n] = fout[..., :n]
+            if hybrid:
+                buf[:, sl, n + N_PARAMS:] = sout[..., :n]
             m = np.frombuffer(memoryview(metas), dtype=np.int32).reshape(
-                B, len(SpectrumMeta._fields_))
+                R, len(SpectrumMeta._fields_))
             mf = m.view(np.float32)
             c = _META_COL
             transient[:, sl] = (m[:, c["transient"]] != 0)[:, None]
-            pc = np.maximum(m[:, c["pf_period"]], MINPERIOD)
-            po = np.maximum(m[:, c["pf_period_old"]], MINPERIOD)
-            # LM=3 frames roll all postfilter params forward each frame, so
-            # the frame-start "old" and "current" sets always agree
-            # (celt_decoder.c rollover); the device comb relies on it.
-            assert np.array_equal(po, pc) and np.array_equal(
-                mf[:, c["pf_gain_old"]], mf[:, c["pf_gain"]]), \
-                "postfilter old/cur mismatch (non-LM3?)"
-            t_cur[:, sl] = pc[:, None]
+            t_old[:, sl] = np.maximum(
+                m[:, c["pf_period_old"]], MINPERIOD)[:, None]
+            t_cur[:, sl] = np.maximum(m[:, c["pf_period"]], MINPERIOD)[:, None]
             t_new[:, sl] = np.maximum(
                 m[:, c["pf_period_new"]], MINPERIOD)[:, None]
+            g_old[:, sl] = (mf[:, c["pf_gain_old"], None]
+                            * gains_tab[m[:, c["pf_tapset_old"]]])[:, None, :]
             g_cur[:, sl] = (mf[:, c["pf_gain"], None]
                             * gains_tab[m[:, c["pf_tapset"]]])[:, None, :]
             g_new[:, sl] = (mf[:, c["pf_gain_new"], None]
@@ -241,14 +286,77 @@ class OpusDecoder(CodecDecoder):
             for i in range(len(self._decoders)):
                 run_substream(i)
         active = np.concatenate(
-            [np.where(np.any(g_cur != 0, -1), t_cur, 1 << 30).ravel(),
+            [np.where(np.any(g_old != 0, -1), t_old, 1 << 30).ravel(),
+             np.where(np.any(g_cur != 0, -1), t_cur, 1 << 30).ravel(),
              np.where(np.any(g_new != 0, -1), t_new, 1 << 30).ravel()])
         min_period = int(active.min()) if active.size else 1 << 30
         postfilter = min_period < (1 << 30)
-        return dict(freq=freq, freq_ext=freq_ext, transient=transient,
-                    t_cur=t_cur, t_new=t_new, g_cur=g_cur, g_new=g_new,
+        return dict(buf=buf, transient=transient,
+                    t_old=t_old, t_cur=t_cur, t_new=t_new,
+                    g_old=g_old, g_cur=g_cur, g_new=g_new,
                     postfilter=postfilter,
                     min_period=min_period if postfilter else 1 << 30)
+
+    def decode_batch(self, packets_per_substream, frame_size):
+        """Host decode path for the batched pipeline (SILK-only and
+        mixed-mode streams): full native float decode of every packet —
+        transition redundancy, PLC, soft clip included — in one GIL-free
+        native stretch per substream, returning [B, L, T] planar float.
+        The device still runs the whole decode pipeline (demix, render,
+        mix, limiter) on the result."""
+        lib = _load_native()
+        B = len(packets_per_substream[0])
+        L = sum(ch for _, ch in self._decoders)
+        out = np.zeros((B, L, frame_size), np.float32)
+        lanes = np.cumsum([0] + [ch for _, ch in self._decoders])
+
+        def run_substream(i):
+            ptr, ch = self._decoders[i]
+            pkts = packets_per_substream[i]
+            sl = slice(lanes[i], lanes[i + 1])
+            # contiguous runs between lost packets decode in single native
+            # calls; None packets conceal via the per-packet PLC entry
+            b = 0
+            while b < B:
+                if pkts[b] is None:
+                    tmp = np.zeros(frame_size * ch * 6, np.float32)
+                    r = lib.iamf_opus_decode_float(
+                        ptr, None, 0,
+                        tmp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        frame_size * 6)
+                    if r < 0:
+                        raise ValueError(f"opus PLC failed ({r})")
+                    out[b, sl] = tmp[:frame_size * ch].reshape(
+                        frame_size, ch).T
+                    b += 1
+                    continue
+                e = b
+                while e < B and pkts[e] is not None:
+                    e += 1
+                blob = b"".join(bytes(p) for p in pkts[b:e])
+                sizes = np.array([len(p) for p in pkts[b:e]], np.int32)
+                seg = np.empty((e - b, frame_size, ch), np.float32)
+                r = lib.iamf_opus_decode_float_batch(
+                    ptr, blob,
+                    sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    e - b,
+                    seg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    frame_size)
+                if r < 0:
+                    raise ValueError(f"opus decode failed ({r})")
+                out[b:e, sl] = seg.transpose(0, 2, 1)
+                b = e
+
+        if len(self._decoders) > 1 and B > 1:
+            if self._pool is None:
+                import concurrent.futures as _cf
+
+                self._pool = _cf.ThreadPoolExecutor(len(self._decoders))
+            list(self._pool.map(run_substream, range(len(self._decoders))))
+        else:
+            for i in range(len(self._decoders)):
+                run_substream(i)
+        return out
 
 
 _GAINS = None
@@ -277,21 +385,17 @@ class TPUOpusStream:
         self.lanes = sum(ch for _, ch in self.dec._decoders)
         self.carry = tpu_synth.init_carry(self.lanes)
 
-    def decode_frames(self, frames) -> np.ndarray:
-        """frames: [B] lists of per-substream packets -> [B, L, 960] f32."""
+    def decode_frames(self, frames, n: int = 960, k: int = 1,
+                      hybrid: bool = False) -> np.ndarray:
+        """frames: [B] lists of per-substream packets -> [B*k, L, n] f32."""
         import jax.numpy as jnp
 
         if not frames:
-            return np.zeros((0, self.lanes, 960), np.float32)
-        d = self.dec.decode_spectrum_batch(frames)
-        # d["freq"] is a strided view into the [B, L, 969] backing array;
-        # materialize it contiguously once for the h2d put
-        params = self._synth.SynthParams(
-            freq=jnp.asarray(np.ascontiguousarray(d["freq"])),
-            transient=jnp.asarray(d["transient"]),
-            t_cur=jnp.asarray(d["t_cur"]), t_new=jnp.asarray(d["t_new"]),
-            g_cur=jnp.asarray(d["g_cur"]), g_new=jnp.asarray(d["g_new"]))
+            return np.zeros((0, self.lanes, n), np.float32)
+        d = self.dec.decode_spectrum_batch(frames, n=n, k=k, hybrid=hybrid)
+        buf = d["buf"]
+        buf[..., n:n + self._synth.N_PARAMS] = self._synth.pack_params(d)
         chunk = self._synth.pick_chunk(d["min_period"])
-        pcm, self.carry = self._synth.synthesize(params, self.carry,
-                                                 chunk=chunk)
+        pcm, self.carry = self._synth.synthesize_packed(
+            jnp.asarray(buf), self.carry, chunk=chunk, n=n, hybrid=hybrid)
         return np.asarray(pcm)

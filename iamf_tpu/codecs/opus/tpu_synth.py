@@ -2,12 +2,13 @@
 
 The host native decoder (native/src/opus/) runs the serial bitstream layers
 (range coding, PVQ, allocation, energy) and exports denormalised spectra via
-``iamf_opus_decode_spectrum``; this module evaluates everything after that on
-the TPU, batched over frames x channels:
+``iamf_opus_decode_spectrum_batch2``; this module evaluates everything after
+that on the TPU, batched over frames x channels:
 
 - IMDCT (reference: celt/mdct.c clt_mdct_backward): one big MXU matmul
-  ``t = freq @ basis^T`` over all frames at once ([B,L,960] x [960,960]);
-  transient frames use the 120-point basis batched over 8 short blocks.
+  ``t = freq @ basis^T`` over all frames at once ([B,L,N] x [N,N] for any
+  CELT frame size N in {120,240,480,960}); transient frames use the
+  120-point basis batched over N/120 short blocks.
 - TDAC overlap (celt/mdct.c window loop): the mirror only mixes each
   block's first 60 raw samples with the previous block's last 60 raw
   samples, so the whole frame chain is a pure shift along the frame axis —
@@ -15,17 +16,22 @@ the TPU, batched over frames x channels:
 - Post-filter (celt/celt.c comb_filter, celt_decoder.c:1055-1073): an IIR
   comb with lag >= 15. Processed in causal chunks of ``chunk`` samples
   (chunk <= min_period-2 guarantees every read lands in already-final
-  output), each chunk fully vectorized over lanes. Zero-gain batches skip
-  the filter entirely (static fast path).
+  output), each chunk fully vectorized over lanes. The three parameter
+  sets (old at frame start, current, newly decoded) reproduce the
+  reference's two comb passes: [0,120) old->cur crossfade (the only pass
+  for 2.5 ms frames), [120,240) cur->new crossfade, [240,N) new.
 - De-emphasis (celt/celt_decoder.c deemphasis, coef 0.85): first-order
-  linear recurrence evaluated as an associative scan (log-depth on device).
+  linear recurrence evaluated as a blocked lower-triangular matmul.
+- Hybrid mode: the host-decoded (bit-exact) SILK half ships at s16 value
+  scale and adds AFTER de-emphasis, exactly where opus_decoder.c adds
+  pcm_silk to the celt output.
 - s16 conversion (opus float2int16): clip + round-half-even.
 
-Parity: bit-exact with the host synthesis except (a) de-emphasis uses an
-associative scan whose float32 rounding can differ from the sequential host
-loop by <=1 LSB after s16 quantization, and (b) opus_pcm_soft_clip is the
-identity for in-range signals and is not replicated (|x|>1 inputs hit the
-downstream IAMF limiter anyway).
+Parity: bit-exact with the host synthesis except (a) de-emphasis block
+accumulation order can differ from the sequential host loop by <=1 LSB
+after s16 quantization, and (b) opus_pcm_soft_clip is the identity for
+in-range signals and is not replicated (|x|>1 inputs hit the downstream
+IAMF limiter anyway).
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ _DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
 HIST = 1032  # > COMBFILTER_MAXPERIOD (1024) + 2, comb look-back window
 MINPERIOD = 15
 FRAME = 960
+N_PARAMS = 13  # transient + 3x(period) + 3x(gain*taps triple)
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,13 +71,15 @@ def _basis(n2: int) -> np.ndarray:
 
 
 class SynthParams(NamedTuple):
-    """Per-frame synthesis inputs, [B] frames x [L] channel lanes."""
+    """Per-frame synthesis inputs, [B] opus frames x [L] channel lanes."""
 
-    freq: jax.Array       # [B, L, 960] denormalised spectra (32768 scale)
+    freq: jax.Array       # [B, L, N] denormalised spectra (32768 scale)
     transient: jax.Array  # [B, L] bool
-    t_cur: jax.Array      # [B, L] int32 comb period at frame start (>=15)
+    t_old: jax.Array      # [B, L] int32 comb period at frame start (>=15)
+    t_cur: jax.Array      # [B, L] int32 comb period decoded last frame
     t_new: jax.Array      # [B, L] int32 comb period decoded this frame
-    g_cur: jax.Array      # [B, L, 3] gain*taps at frame start
+    g_old: jax.Array      # [B, L, 3] gain*taps at frame start
+    g_cur: jax.Array      # [B, L, 3] gain*taps decoded last frame
     g_new: jax.Array      # [B, L, 3] gain*taps decoded this frame
 
 
@@ -89,83 +98,110 @@ def init_carry(lanes: int) -> SynthCarry:
 
 
 def _imdct_overlap(freq, transient, tail0):
-    """All-frames IMDCT + TDAC overlap. Returns (y [B,L,960], tail [L,60]).
+    """All-frames IMDCT + TDAC overlap. Returns (y [B,L,N], tail [L,60]).
 
-    On TPU this routes to the fused Pallas kernel (pallas_imdct.py): the
-    filterbank folds to two MXU matmuls per frame with the inter-frame
-    tail carried in VMEM scratch. `_imdct_overlap_jnp` is the portable
-    fallback and the equivalence oracle (tests/test_opus_pallas.py);
-    first TPU use cross-checks the fused kernel against it on device.
+    On TPU the 960-point path routes to the fused Pallas kernel
+    (pallas_imdct.py): the filterbank folds to two MXU matmuls per frame
+    with the inter-frame tail carried in VMEM scratch. `_imdct_overlap_jnp`
+    is the portable fallback for every frame size and the equivalence
+    oracle (tests/test_opus_pallas.py); first TPU use cross-checks the
+    fused kernel against it on device.
     """
     from . import pallas_imdct
 
-    if pallas_imdct.enabled(lanes=freq.shape[1]):
+    if freq.shape[2] == FRAME and pallas_imdct.enabled(lanes=freq.shape[1]):
         return pallas_imdct.fused_imdct_overlap(freq, transient, tail0)
     return _imdct_overlap_jnp(freq, transient, tail0)
 
 
 def _imdct_overlap_jnp(freq, transient, tail0):
-    B, L, _ = freq.shape
+    B, L, n = freq.shape
+    M = n // 120  # short blocks per frame (2^LM)
     w = jnp.asarray(_tables()[0])
-    b960 = jnp.asarray(_basis(960))
-    b120 = jnp.asarray(_basis(120))
+    b_long = jnp.asarray(_basis(n))
 
-    t_long = jnp.einsum("blk,mk->blm", freq, b960,
+    t_long = jnp.einsum("blk,mk->blm", freq, b_long,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-    # short blocks are interleaved with stride 8: block j holds freq[j+8k]
-    fs = freq.reshape(B, L, 120, 8).transpose(0, 1, 3, 2)
-    t_short = jnp.einsum("bljk,mk->bljm", fs, b120,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-
-    tails_out = jnp.where(transient[..., None], t_short[:, :, 7, 60:],
-                          t_long[..., 900:])
-    tail_in = jnp.concatenate([tail0[None], tails_out[:-1]], axis=0)
 
     i = jnp.arange(60)
     wl, wr = w[119 - i], w[i]  # window halves for the mirror
 
-    # long: y[0:60)=mirror, y[60:120)=mirror reversed, y[120:960)=raw
+    if M > 1:
+        b120 = jnp.asarray(_basis(120))
+        # short blocks interleave with stride M: block j holds freq[j+M*k]
+        fs = freq.reshape(B, L, 120, M).transpose(0, 1, 3, 2)
+        t_short = jnp.einsum("bljk,mk->bljm", fs, b120,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        tails_out = jnp.where(transient[..., None],
+                              t_short[:, :, M - 1, 60:], t_long[..., n - 60:])
+    else:
+        t_short = None
+        tails_out = t_long[..., n - 60:]
+    tail_in = jnp.concatenate([tail0[None], tails_out[:-1]], axis=0)
+
+    # long: y[0:60)=mirror, y[60:120)=mirror reversed, y[120:N)=raw
     th_l = t_long[..., :60][..., ::-1]  # t[59-i]
     y0_l = wl * tail_in - wr * th_l
     y1_l = (wl * th_l + wr * tail_in)[..., ::-1]
-    y_long = jnp.concatenate([y0_l, y1_l, t_long[..., 60:900]], axis=-1)
+    # y[0:60)=mirror, y[60:120)=mirror reversed, y[120:n)=raw t[60:n-60)
+    # (the last 60 raw samples are the tail carried into the next frame)
+    y_long = jnp.concatenate([y0_l, y1_l, t_long[..., 60:n - 60]], axis=-1)
 
-    # short: 8 blocks, block j mirrors against block j-1's raw tail
-    pt = jnp.concatenate([tail_in[:, :, None, :], t_short[:, :, :-1, 60:]],
-                         axis=2)  # [B,L,8,60]
-    th_s = t_short[..., :60][..., ::-1]
-    y0_s = wl * pt - wr * th_s
-    y1_s = (wl * th_s + wr * pt)[..., ::-1]
-    y_short = jnp.concatenate([y0_s, y1_s], axis=-1).reshape(B, L, FRAME)
-
-    y = jnp.where(transient[..., None], y_short, y_long)
+    if M > 1:
+        # short: M blocks, block j mirrors against block j-1's raw tail
+        pt = jnp.concatenate(
+            [tail_in[:, :, None, :], t_short[:, :, :-1, 60:]],
+            axis=2)  # [B,L,M,60]
+        th_s = t_short[..., :60][..., ::-1]
+        y0_s = wl * pt - wr * th_s
+        y1_s = (wl * th_s + wr * pt)[..., ::-1]
+        y_short = jnp.concatenate([y0_s, y1_s], axis=-1).reshape(B, L, n)
+        y = jnp.where(transient[..., None], y_short, y_long)
+    else:
+        y = y_long
     return y, tails_out[-1]
 
 
 def _comb_coeffs(p: SynthParams):
-    """Per-sample comb lags/coefficients, [B,L,960,...] (celt.c comb_filter
-    with the celt_decoder.c two-pass schedule for LM>0 frames)."""
+    """Per-sample comb lags/coefficients, [B,L,N,...], reproducing the
+    celt_decoder.c comb schedule: pass 1 over [0,120) crossfades the
+    frame-start ("old") params into the "current" set (comb_filter with
+    overlap=120 — constant when the sets are equal, which LM>0 frames
+    guarantee via the state rollover); pass 2 over [120,N) crossfades
+    "current" into the newly decoded set over [120,240). 2.5 ms frames
+    (N=120) run only pass 1."""
     w = jnp.asarray(_tables()[0])
-    B, L, _ = p.freq.shape
-    pf = jnp.arange(FRAME)
-    in_a = pf < 120            # pass A: params from last frame, no crossfade
-    in_tr = (pf >= 120) & (pf < 240)  # pass B crossfade region
-    eq = (p.t_cur == p.t_new) & jnp.all(p.g_cur == p.g_new, axis=-1)
+    B, L, n = p.freq.shape
+    pf = jnp.arange(n)
+    in_a = pf < 120                      # pass 1: old -> cur
+    in_tr = (pf >= 120) & (pf < 240)     # pass 2 crossfade region
+    eq_oc = (p.t_old == p.t_cur) & jnp.all(p.g_old == p.g_cur, axis=-1)
+    eq_cn = (p.t_cur == p.t_new) & jnp.all(p.g_cur == p.g_new, axis=-1)
 
     f = w * w  # crossfade factor over the transition window
-    f = jnp.concatenate([jnp.zeros(120), f, jnp.zeros(720)])[None, None, :]
+    fa = jnp.concatenate([f, jnp.zeros(n - 120)])[None, None, :]
+    fb = jnp.concatenate([jnp.zeros(120), f,
+                          jnp.zeros(max(n - 240, 0))])[None, None, :n]
+    go = p.g_old[:, :, None, :]
     gc = p.g_cur[:, :, None, :]
     gn = p.g_new[:, :, None, :]
-    trans = (in_tr & ~eq[..., None])[..., None]
-    c1 = jnp.where(in_a[..., None], gc,
-                   jnp.where(trans, (1.0 - f)[..., None] * gc, gn))
-    c2 = jnp.where(trans, f[..., None] * gn, jnp.zeros_like(gn))
-    lag1 = jnp.where(in_a, p.t_cur[..., None],
-                     jnp.where(in_tr & ~eq[..., None], p.t_cur[..., None],
-                               p.t_new[..., None]))
-    lag2 = jnp.where(in_tr & ~eq[..., None], p.t_new[..., None], lag1)
+    cross_a = (in_a & ~eq_oc[..., None])[..., None]
+    cross_b = (in_tr & ~eq_cn[..., None])[..., None]
+    c1 = jnp.where(in_a[..., None],
+                   jnp.where(cross_a, (1.0 - fa)[..., None] * go, gc),
+                   jnp.where(cross_b, (1.0 - fb)[..., None] * gc, gn))
+    c2 = jnp.where(cross_a, fa[..., None] * gc,
+                   jnp.where(cross_b, fb[..., None] * gn,
+                             jnp.zeros_like(gn)))
+    to = p.t_old[..., None]
+    tc = p.t_cur[..., None]
+    tn = p.t_new[..., None]
+    lag1 = jnp.where(in_a, jnp.where(in_a & ~eq_oc[..., None], to, tc),
+                     jnp.where(in_tr & ~eq_cn[..., None], tc, tn))
+    lag2 = jnp.where(in_a & ~eq_oc[..., None], tc,
+                     jnp.where(in_tr & ~eq_cn[..., None], tn, lag1))
     return c1, c2, lag1, lag2
 
 
@@ -250,7 +286,7 @@ def _deemphasis(z, m0):
         # block memory e[i] = u_last[i-1] + aK*e[i-1] collapses to a shift
         e = jnp.concatenate([m0[:, None], u_last[:, :-1]], axis=1)
     else:
-        # small-K path (tests/short signals): first-order recurrence over
+        # small-K path (short frames/signals): first-order recurrence over
         # nb block scalars — a tiny log-depth scan
         av = jnp.full((L, nb), aK, jnp.float32).at[:, 0].set(1.0)
         c = jnp.concatenate([m0[:, None], u_last[:, :-1]], axis=1)
@@ -270,89 +306,121 @@ def _deemphasis(z, m0):
     return out, demem
 
 
-# packed-buffer column layout after the FRAME spectrum columns (written by
-# pack_params, read by unpack_buf, and used by the sharded decoder's
-# neutral lane padding) — keep these three in sync
-PACKED_TRANSIENT = FRAME
-PACKED_T_CUR = FRAME + 1
-PACKED_T_NEW = FRAME + 2
-PACKED_G_CUR = FRAME + 3  # 3 columns
-PACKED_G_NEW = FRAME + 6  # 3 columns
+# Packed-buffer column layout after the N spectrum columns (written by
+# pack_params, read by _unpack, and used by the sharded decoder's neutral
+# lane padding). Offsets are relative to the spectrum width N; the module
+# constants give the absolute columns for the N=960 CELT layout the
+# sharded decoder pins. Hybrid rows append N more columns of host-decoded
+# SILK pcm (s16 value scale) after the parameter block.
+PK_TRANSIENT = 0
+PK_T_OLD = 1
+PK_T_CUR = 2
+PK_T_NEW = 3
+PK_G_OLD = 4   # 3 columns
+PK_G_CUR = 7   # 3 columns
+PK_G_NEW = 10  # 3 columns
+PACKED_TRANSIENT = FRAME + PK_TRANSIENT
+PACKED_T_OLD = FRAME + PK_T_OLD
+PACKED_T_CUR = FRAME + PK_T_CUR
+PACKED_T_NEW = FRAME + PK_T_NEW
+PACKED_G_OLD = FRAME + PK_G_OLD
+PACKED_G_CUR = FRAME + PK_G_CUR
+PACKED_G_NEW = FRAME + PK_G_NEW
+
+
+def packed_width(n: int, hybrid: bool) -> int:
+    """Total packed-row width for frame size n: spectrum + params
+    (+ SILK pcm for hybrid)."""
+    return n + N_PARAMS + (n if hybrid else 0)
 
 
 def pack_params(d: dict) -> np.ndarray:
-    """Pack the five small per-frame entropy outputs into ONE [B, L, 9]
-    float32 buffer (transient, t_cur, t_new, g_cur[3], g_new[3]): the
-    tunneled h2d path charges ~0.5 s per sub-16KB transfer, so the batch
-    loop ships one bulk buffer instead of five tiny ones. Periods are
-    <= 1024 and gains are Q15-derived — exact in float32."""
+    """Pack the per-frame entropy outputs into ONE [B, L, 13] float32
+    block (transient, t_old/cur/new, g_old/cur/new[3 each]): the tunneled
+    h2d path charges ~0.5 s per sub-16KB transfer, so the batch loop ships
+    one bulk buffer instead of several tiny ones. Periods are <= 1024 and
+    gains are Q15-derived — exact in float32."""
     B, L = d["transient"].shape
-    out = np.empty((B, L, 9), np.float32)
-    out[..., PACKED_TRANSIENT - FRAME] = d["transient"]
-    out[..., PACKED_T_CUR - FRAME] = d["t_cur"]
-    out[..., PACKED_T_NEW - FRAME] = d["t_new"]
-    out[..., PACKED_G_CUR - FRAME:PACKED_G_CUR - FRAME + 3] = d["g_cur"]
-    out[..., PACKED_G_NEW - FRAME:PACKED_G_NEW - FRAME + 3] = d["g_new"]
+    out = np.empty((B, L, N_PARAMS), np.float32)
+    out[..., PK_TRANSIENT] = d["transient"]
+    out[..., PK_T_OLD] = d["t_old"]
+    out[..., PK_T_CUR] = d["t_cur"]
+    out[..., PK_T_NEW] = d["t_new"]
+    out[..., PK_G_OLD:PK_G_OLD + 3] = d["g_old"]
+    out[..., PK_G_CUR:PK_G_CUR + 3] = d["g_cur"]
+    out[..., PK_G_NEW:PK_G_NEW + 3] = d["g_new"]
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def synthesize_packed(buf, carry: SynthCarry, chunk: int = 104):
-    """synthesize() with ONE [B, L, 969] input buffer: the denormalised
-    spectra concatenated with pack_params' 9 small per-frame values — a
-    single bulk h2d transfer per batch (see pack_params)."""
-    freq = buf[..., :FRAME]
-    packed = buf[..., FRAME:]
+def _unpack(buf, n: int):
+    """[B, L, packed_width] buffer -> (SynthParams, silk | None)."""
+    freq = buf[..., :n]
+    pk = buf[..., n:n + N_PARAMS]
     p = SynthParams(
         freq=freq,
-        transient=packed[..., 0] != 0,
-        t_cur=packed[..., 1].astype(jnp.int32),
-        t_new=packed[..., 2].astype(jnp.int32),
-        g_cur=packed[..., 3:6],
-        g_new=packed[..., 6:9],
+        transient=pk[..., PK_TRANSIENT] != 0,
+        t_old=pk[..., PK_T_OLD].astype(jnp.int32),
+        t_cur=pk[..., PK_T_CUR].astype(jnp.int32),
+        t_new=pk[..., PK_T_NEW].astype(jnp.int32),
+        g_old=pk[..., PK_G_OLD:PK_G_OLD + 3],
+        g_cur=pk[..., PK_G_CUR:PK_G_CUR + 3],
+        g_new=pk[..., PK_G_NEW:PK_G_NEW + 3],
     )
-    return _synthesize(p, carry, chunk)
+    silk = buf[..., n + N_PARAMS:] if buf.shape[-1] > n + N_PARAMS else None
+    return p, silk
+
+
+def unpack_buf(buf) -> SynthParams:
+    """[B, L, 973] packed CELT-960 buffer -> SynthParams (sharded path)."""
+    return _unpack(buf, FRAME)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n", "hybrid"))
+def synthesize_packed(buf, carry: SynthCarry, chunk: int = 104,
+                      n: int | None = None, hybrid: bool = False):
+    """synthesize() with ONE packed input buffer per batch — a single bulk
+    h2d transfer (see pack_params): [B, L, n+13] CELT or [B, L, 2n+13]
+    hybrid (SILK pcm appended). n defaults to the CELT-only width
+    (buf_width - 13); hybrid layouts must pass n explicitly — the width
+    alone is ambiguous (CELT-960 and hybrid-480 are both 973 wide)."""
+    if n is None:
+        n = buf.shape[-1] - N_PARAMS
+    p, silk = _unpack(buf, n)
+    return _synthesize(p, carry, chunk, silk if hybrid else None)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
-    """Full device synthesis. Returns (pcm [B,L,960] float in [-1,1] at s16
+    """Full device synthesis. Returns (pcm [B,L,N] float in [-1,1] at s16
     granularity, new carry).
 
     The comb always runs — zero coefficients are an exact identity — so the
-    only compile variants are (B, L, chunk); axon remote compiles cost
+    only compile variants are (B, L, N, chunk); axon remote compiles cost
     minutes each, so variants are kept to a minimum."""
     return _synthesize(p, carry, chunk)
 
 
-def _synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104):
-    B, L, _ = p.freq.shape
+def _synthesize(p: SynthParams, carry: SynthCarry, chunk: int = 104,
+                silk=None):
+    B, L, n = p.freq.shape
     y, tail = _imdct_overlap(p.freq, p.transient, carry.tail)
-    sig = y.transpose(1, 0, 2).reshape(L, B * FRAME)
+    sig = y.transpose(1, 0, 2).reshape(L, B * n)
     c1, c2, lag1, lag2 = _comb_coeffs(p)
     flat = lambda a: a.transpose(1, 0, 2, *range(3, a.ndim)).reshape(
-        (L, B * FRAME) + a.shape[3:])
+        (L, B * n) + a.shape[3:])
     z = _comb_filter(sig, carry.hist, flat(c1), flat(c2),
                      flat(lag1), flat(lag2), chunk)
-    hist = z[:, -HIST:] if B * FRAME >= HIST else jnp.concatenate(
+    hist = z[:, -HIST:] if B * n >= HIST else jnp.concatenate(
         [carry.hist, z], axis=1)[:, -HIST:]
     out, demem = _deemphasis(z, carry.demem)
+    if silk is not None:
+        # hybrid: host-decoded SILK half (s16 value scale — the same scale
+        # as the de-emphasis output) adds after the celt synthesis,
+        # opus_decoder.c "pcm[i] += pcm_silk[i]"
+        out = out + silk.transpose(1, 0, 2).reshape(L, B * n)
     s16 = jnp.rint(jnp.clip(out, -32768.0, 32767.0))
-    pcm = (s16 * (1.0 / 32768.0)).reshape(L, B, FRAME).transpose(1, 0, 2)
+    pcm = (s16 * (1.0 / 32768.0)).reshape(L, B, n).transpose(1, 0, 2)
     return pcm, SynthCarry(tail=tail, hist=hist, demem=demem)
-
-
-def unpack_buf(buf) -> SynthParams:
-    """[B, L, 969] packed buffer (see pack_params) -> SynthParams."""
-    freq = buf[..., :FRAME]
-    return SynthParams(
-        freq=freq,
-        transient=buf[..., PACKED_TRANSIENT] != 0,
-        t_cur=buf[..., PACKED_T_CUR].astype(jnp.int32),
-        t_new=buf[..., PACKED_T_NEW].astype(jnp.int32),
-        g_cur=buf[..., PACKED_G_CUR:PACKED_G_CUR + 3],
-        g_new=buf[..., PACKED_G_NEW:PACKED_G_NEW + 3],
-    )
 
 
 def shard_stages(buf, preroll: int):

@@ -59,6 +59,8 @@ class _ElemCtx:
     gain: float  # element default mix gain (linear)
     hrtf_bank: object = None  # np.ndarray [2, n_bed, taps] | None — HRIRs
     #   for the M2B/H2B binaural conv (render_mat then yields the bed)
+    opus_cfg: tuple | None = None  # (opus frame n, frames/unit k, hybrid)
+    #   from OpusDecoder.classify_packets for the device spectrum path
 
 
 # The batched path pins the comb-filter chunk to 13 — safe for every legal
@@ -79,11 +81,24 @@ def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
     xs = []
     syn = []
     for i, kind in enumerate(kinds):
-        if kind == "opus":
+        if kind.startswith("opus"):
             from ..codecs.opus import tpu_synth
 
+            # kind "opus" = CELT 960/1-frame; "opus:n:k:h" = general
+            # operating point (opus frame size n, k frames per temporal
+            # unit, hybrid SILK block appended)
+            n, k, hyb = 960, 1, False
+            if kind != "opus":
+                _, a, b, c = kind.split(":")
+                n, k, hyb = int(a), int(b), bool(int(c))
             x, s = tpu_synth.synthesize_packed(
-                bufs[i], carry["syn"][i], chunk=_BATCH_COMB_CHUNK)
+                bufs[i], carry["syn"][i], chunk=_BATCH_COMB_CHUNK,
+                n=n, hybrid=hyb)
+            if k > 1:
+                # regroup k opus frames into one temporal-unit row
+                Bu, L = x.shape[0] // k, x.shape[1]
+                x = x.reshape(Bu, k, L, n).transpose(0, 2, 1, 3).reshape(
+                    Bu, L, k * n)
         elif kind == "aac":
             from ..codecs.aac import tpu_synth as aac_synth
 
@@ -425,21 +440,26 @@ class BatchedStreamDecoder:
         if raw_input:
             input_scale = 1.0 / float(getattr(codec, "scale", 1.0))
         opus = False
-        fallback_reason = None
-        if hasattr(codec, "decode_spectrum_batch") and self.frame_size == 960:
-            fallback_reason = self._opus_celt_960(el)
-            opus = fallback_reason is None
-            if not opus:
-                from ..utils.logging import logw
-
-                logw("batch", f"element {el.element_id}: opus device "
-                     f"synthesis rejected ({fallback_reason}); decoding on "
-                     f"host")
+        opus_cfg = None
+        opus_mode = None
+        if hasattr(codec, "classify_packets"):
+            # TOC scan decides the decode split per element (every TOC is
+            # served, mirroring opus_multistream2_decoder.c:125-165):
+            # CELT/hybrid at any frame size and packing -> device spectrum
+            # synthesis; SILK-only and mixed-mode -> native host decode
+            # feeding the device pipeline (codec.decode_batch below).
+            pkts = [self.frames_per_substream.get(sid) or []
+                    for sid in el.substream_ids]
+            opus_mode, n_f, k_f = codec.classify_packets(
+                pkts, self.frame_size)
+            if opus_mode in ("celt", "hybrid"):
+                opus = True
+                opus_cfg = (n_f, k_f, opus_mode == "hybrid")
         if opus and self.opus_synth is None:
             from ..codecs.opus import tpu_synth
 
             self.opus_synth = tpu_synth
-        aac = (hasattr(codec, "decode_spectrum_batch")
+        aac = (hasattr(codec, "decode_spectrum_batch") and not opus_mode
                and self.frame_size == 1024
                and getattr(codec, "backend", None) != "fdk")
         if aac and self.aac_synth is None:
@@ -448,11 +468,11 @@ class BatchedStreamDecoder:
             self.aac_synth = aac_tpu_synth
         self.stats["elements"].append({
             "element_id": el.element_id,
-            "path": ("opus_device" if opus else
+            "path": (f"opus_device_{opus_mode}" if opus else
+                     "opus_host_pipeline" if opus_mode == "host" else
                      "aac_device" if aac else
                      "raw_device" if raw_input else "host"),
-            **({"fallback_reason": fallback_reason} if fallback_reason
-               else {}),
+            **({"opus_cfg": opus_cfg} if opus_cfg else {}),
         })
         return _ElemCtx(
             stream=stream, codec=codec,
@@ -460,29 +480,8 @@ class BatchedStreamDecoder:
             demix_spec=demix_spec, render_mat=render_mat, downmix=downmix,
             n_in=n_in, input_scale=input_scale, raw_input=raw_input,
             opus=opus, aac=aac, gain=gain, hrtf_bank=hrtf_bank,
+            opus_cfg=opus_cfg,
         )
-
-    def _opus_celt_960(self, el):
-        """The device CELT synthesis covers CELT-only 20 ms packets (the
-        IAMF operating point). SILK/hybrid TOCs fall back to the host
-        decoder (still from scratch, bit-exact for SILK). Returns None when
-        the device path applies, else a human-readable rejection reason
-        (also surfaced via self.stats and a logged warning)."""
-        for sid in el.substream_ids:
-            pkts = self.frames_per_substream.get(sid) or []
-            if not pkts:
-                continue
-            toc = bytes(pkts[0])[0] if len(pkts[0]) else 0
-            if toc >> 3 < 16:
-                return (f"substream {sid}: SILK/hybrid TOC config "
-                        f"{toc >> 3} (device path covers CELT-only)")
-            if (toc & 3) != 0:
-                return (f"substream {sid}: {toc & 3}-frame packet "
-                        f"(device path covers code-0 single-frame)")
-            if ((toc >> 3) & 3) != 3:
-                return (f"substream {sid}: frame duration code "
-                        f"{(toc >> 3) & 3} != 20 ms")
-        return None
 
     @property
     def n_frames(self) -> int:
@@ -493,31 +492,26 @@ class BatchedStreamDecoder:
 
     def _opus_entropy(self, e: _ElemCtx, packets, start, count, B):
         """Host entropy decode for one opus batch -> ONE packed h2d buffer
-        [B, L, 969] = freq ++ (transient, periods, gains); sub-16KB puts
-        cost ~0.5s on the tunnel, so everything ships in a single bulk
-        transfer."""
+        [B*k, L, packed_width] = spectra ++ params (++ hybrid SILK pcm);
+        sub-16KB puts cost ~0.5s on the tunnel, so everything ships in a
+        single bulk transfer."""
+        n, kf, hyb = e.opus_cfg
         blk = [[p[k] for p in packets] for k in range(start, start + count)]
-        d = e.codec.decode_spectrum_batch(blk)
+        d = e.codec.decode_spectrum_batch(blk, n=n, k=kf, hybrid=hyb)
+        buf = d["buf"]
+        # pack the 13 per-frame values into the buffer's param columns:
+        # one h2d buffer, zero re-copy of the wide spectra
+        buf[..., n:n + self.opus_synth.N_PARAMS] = \
+            self.opus_synth.pack_params(d)
         pad = B - count
         if pad:
-            # 'freq' is a view into freq_ext: padding the backing array
-            # and rebinding the view covers it without a second multi-MB
-            # spectra copy
-            padded = {
-                k: np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
-                for k, v in d.items()
-                if isinstance(v, np.ndarray) and k != "freq"
-            }
-            padded["t_cur"] = np.maximum(padded["t_cur"], 15)
-            padded["t_new"] = np.maximum(padded["t_new"], 15)
-            d.update(padded)
-            d["freq"] = d["freq_ext"][..., :960]
-        # pack the 9 per-frame values into the trailing columns of the
-        # spectrum's [B, L, 969] backing array: one h2d buffer, zero copy
-        # of the 960-wide spectra
-        d["freq_ext"][..., 960:] = self.opus_synth.pack_params(d)
-        return d["freq_ext"], self.opus_synth.pick_chunk(d["min_period"])
+            padbuf = np.zeros((pad * kf,) + buf.shape[1:], np.float32)
+            # neutral rows: zero spectra/gains, legal comb periods
+            for col in (self.opus_synth.PK_T_OLD, self.opus_synth.PK_T_CUR,
+                        self.opus_synth.PK_T_NEW):
+                padbuf[..., n + col] = 15
+            buf = np.concatenate([buf, padbuf])
+        return buf, self.opus_synth.pick_chunk(d["min_period"])
 
     def _aac_entropy(self, e: _ElemCtx, packets, start, count, B):
         """Host entropy decode for one AAC batch -> ONE packed h2d buffer
@@ -683,9 +677,15 @@ class BatchedStreamDecoder:
             fetch and not self.needs_resample) else None
         fetch_futs = []
         device_outs = []
-        kinds = tuple(
-            "opus" if e.opus else ("aac" if e.aac else "raw")
-            for e in self.elems)
+        def _kind(e):
+            if e.opus:
+                n, kf, hyb = e.opus_cfg
+                if (n, kf, hyb) == (960, 1, False):
+                    return "opus"  # the flagship CELT-960 operating point
+                return f"opus:{n}:{kf}:{int(hyb)}"
+            return "aac" if e.aac else "raw"
+
+        kinds = tuple(_kind(e) for e in self.elems)
         step_carry = {"pipe": carry, "syn": elem_syn_carry}
 
         # Output bookkeeping. With the pre-limiter trim splice

@@ -113,11 +113,17 @@ class PipelinedStreamDecoder:
                 for i, e in enumerate(base.elems):
                     # host entropy/unpack, then stage A on device A
                     if e.opus:
+                        nf, kf, hyb = e.opus_cfg
                         buf, _ = base._opus_entropy(
                             e, elem_packets[i], start, count, B)
                         buf = jax.device_put(buf, self.dev_a)
                         x, syn_carry[i] = base.opus_synth.synthesize_packed(
-                            buf, syn_carry[i], chunk=_BATCH_COMB_CHUNK)
+                            buf, syn_carry[i], chunk=_BATCH_COMB_CHUNK,
+                            n=nf, hybrid=hyb)
+                        if kf > 1:
+                            Bu, L = x.shape[0] // kf, x.shape[1]
+                            x = x.reshape(Bu, kf, L, nf).transpose(
+                                0, 2, 1, 3).reshape(Bu, L, kf * nf)
                     elif e.aac:
                         buf, _ = base._aac_entropy(
                             e, elem_packets[i], start, count, B)

@@ -133,9 +133,11 @@ class ShardedStreamDecoder:
             batch_frames=128,  # only gates head_trim; we drive the pipeline
         )
         base = self.base
-        # per-element overlap prefix: 1 frame for filterbank carries
+        # per-element overlap prefix: 1 frame for DEVICE filterbank carries
+        # (host-decoded opus shapes ship final samples — no preroll)
         self.prerolls = tuple(
-            1 if (e.opus or e.aac) else 0 for e in base.elems)
+            1 if ((e.opus and e.opus_cfg == (960, 1, False)) or e.aac)
+            else 0 for e in base.elems)
         # the stream's declared random-access prefix (informational; the
         # exact carry chains supersede deep preroll re-decode)
         self.roll_distance = max(
@@ -209,6 +211,19 @@ class ShardedStreamDecoder:
                        for sid in e.substream_ids]
             chunk = None
             if e.opus:
+                if e.opus_cfg != (960, 1, False):
+                    # the sharded preroll/carry machinery pins the flagship
+                    # CELT-960 operating point; other opus shapes decode on
+                    # the host and shard as raw frames
+                    buf = e.codec.decode_batch(packets, T)[:n]
+                    kinds.append("raw")
+                    chunks.append(None)
+                    buf = np.asarray(buf)
+                    lanes.append(buf.shape[1])
+                    xs_sharded.append(self._put(
+                        self._shard_rows(buf, 0, self.prerolls[i]),
+                        P("frames")))
+                    continue
                 buf, chunk = base._opus_entropy(e, packets, 0, n, n)
                 kinds.append("opus")
             elif e.aac:
@@ -241,9 +256,10 @@ class ShardedStreamDecoder:
                     pad = np.zeros(
                         (buf.shape[0], Lp - buf.shape[1]) + buf.shape[2:],
                         buf.dtype)
-                    if e.opus:
+                    if kinds[-1] == "opus":
                         from ..codecs.opus import tpu_synth
 
+                        pad[..., tpu_synth.PACKED_T_OLD] = 15
                         pad[..., tpu_synth.PACKED_T_CUR] = 15
                         pad[..., tpu_synth.PACKED_T_NEW] = 15
                     buf = np.concatenate([buf, pad], axis=1)

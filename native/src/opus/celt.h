@@ -175,11 +175,18 @@ int celt_decode_frame_bands(CeltDecoder* st, const unsigned char* data,
                             int len, float* pcm, int frame_size, EntDec* dec,
                             int start_band, int end_band);
 
-// Entropy/PVQ/denormalise only: export the spectrum ([CC][960]) for the
-// device-side synthesis pipeline; updates all decoder state like
-// celt_decode_frame but performs no time-domain synthesis.
+// Entropy/PVQ/denormalise only: export the spectrum ([CC][960] stride,
+// first frame_size entries valid) for the device-side synthesis pipeline;
+// updates all decoder state like celt_decode_frame but performs no
+// time-domain synthesis.
 int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
                          float* freq_out, int frame_size, EntDec* dec,
                          int* transient_out);
+
+// Band-restricted spectrum export (hybrid start=17 / NB-WB end bands).
+int celt_decode_spectrum_bands(CeltDecoder* st, const unsigned char* data,
+                               int len, float* freq_out, int frame_size,
+                               EntDec* dec, int* transient_out,
+                               int start_band, int end_band);
 
 }  // namespace iamf_opus

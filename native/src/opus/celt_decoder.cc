@@ -441,4 +441,12 @@ int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
                               freq_out, transient_out);
 }
 
+int celt_decode_spectrum_bands(CeltDecoder* st, const unsigned char* data,
+                               int len, float* freq_out, int frame_size,
+                               EntDec* dec, int* transient_out,
+                               int start_band, int end_band) {
+  return celt_decode_frame_ex(st, data, len, nullptr, frame_size, dec,
+                              freq_out, transient_out, start_band, end_band);
+}
+
 }  // namespace iamf_opus

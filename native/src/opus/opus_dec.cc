@@ -414,75 +414,142 @@ extern "C" void iamf_soft_clip(float* x, int N, int C, float* mem) {
 
 // ---- spectrum-export API for the TPU synthesis path --------------------
 // Decodes the entropy/PVQ layers on the host and exports the denormalised
-// spectrum (freq domain, [C][960]) plus per-frame synthesis metadata; the
-// TPU pipeline performs IMDCT (MXU matmul) + overlap + post-filter +
-// de-emphasis. States that live in the bitstream layer (energy prediction,
-// LCG seed, range-coder reseed) stay in the host decoder.
+// spectrum (freq domain, [C][960] stride, first N entries valid) plus
+// per-frame synthesis metadata; the TPU pipeline performs IMDCT (MXU
+// matmul) + overlap + post-filter + de-emphasis. States that live in the
+// bitstream layer (energy prediction, LCG seed, range-coder reseed) stay
+// in the host decoder. Covers CELT mode at every frame size (120/240/480/
+// 960) and packing code (multi-frame packets export one row per OPUS
+// frame), and hybrid mode (SILK half decoded host-side — bit-exact — and
+// exported at s16 value scale for the device to add post-deemphasis,
+// opus_decoder.c hybrid split). SILK-only packets return -10: they carry
+// no CELT synthesis, so the host float path decodes them outright and the
+// device runs only the decode pipeline.
 
 extern "C" {
 
 struct SpectrumMeta {
-  int samples;        // frame size (0 on error)
+  int samples;        // opus frame size N (0 on error)
   int transient;      // shortBlocks != 0
-  int pf_period_old;  // post-filter params for the frame start
+  int pf_period_old;  // post-filter params at frame start ("old" set)
   float pf_gain_old;
   int pf_tapset_old;
-  int pf_period;      // params decoded last frame (applies to first 120)
+  int pf_period;      // params decoded last frame ("current" set)
   float pf_gain;
   int pf_tapset;
-  int pf_period_new;  // params decoded this frame (applies after 120)
+  int pf_period_new;  // params decoded this frame ("new" set)
   float pf_gain_new;
   int pf_tapset_new;
 };
 
-int iamf_opus_decode_spectrum(void* ptr, const unsigned char* data, int len,
-                              float* freq_out, SpectrumMeta* meta) {
+// Decode every opus frame of ONE packet to spectra. freq_out/silk_out:
+// [max_frames][channels][960] (silk_out may be null for CELT streams).
+// Returns frames decoded, or negative error (-10 silk-only, -12 hybrid
+// redundancy side information — mode-transition streams take the host
+// decode path).
+int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
+                                     int len, float* freq_out,
+                                     float* silk_out, SpectrumMeta* metas,
+                                     int max_frames) {
   OpusDec* d = (OpusDec*)ptr;
   PacketInfo pi;
   if (parse_packet(data, len, &pi) < 0) return -4;
-  if (pi.mode != 2 || pi.nb_frames != 1 || pi.frame_size != 960) return -10;
-  EntDec dec;
-  dec.init(pi.frames[0], (uint32_t)pi.sizes[0]);
-  meta->pf_period_old = d->celt.postfilter_period_old;
-  meta->pf_gain_old = d->celt.postfilter_gain_old;
-  meta->pf_tapset_old = d->celt.postfilter_tapset_old;
-  meta->pf_period = d->celt.postfilter_period;
-  meta->pf_gain = d->celt.postfilter_gain;
-  meta->pf_tapset = d->celt.postfilter_tapset;
-  int transient = 0;
-  int ret = celt_decode_spectrum(&d->celt, pi.frames[0], pi.sizes[0],
-                                 freq_out, 960, &dec, &transient);
-  if (ret < 0) return ret;
-  meta->samples = ret;
-  meta->transient = transient;
-  meta->pf_period_new = d->celt.postfilter_period;
-  meta->pf_gain_new = d->celt.postfilter_gain;
-  meta->pf_tapset_new = d->celt.postfilter_tapset;
-  return ret;
+  if (pi.mode == 0) return -10;
+  if (pi.nb_frames > max_frames || pi.frame_size > 960) return -2;
+  int ch = d->channels;
+  int pkt_ch = pi.stereo ? 2 : 1;
+  d->celt.stream_channels = pkt_ch;
+  for (int f = 0; f < pi.nb_frames; ++f) {
+    float* freq = freq_out + (size_t)f * ch * 960;
+    SpectrumMeta* m = metas + f;
+    EntDec dec;
+    dec.init(pi.frames[f], (uint32_t)pi.sizes[f]);
+    m->pf_period_old = d->celt.postfilter_period_old;
+    m->pf_gain_old = d->celt.postfilter_gain_old;
+    m->pf_tapset_old = d->celt.postfilter_tapset_old;
+    m->pf_period = d->celt.postfilter_period;
+    m->pf_gain = d->celt.postfilter_gain;
+    m->pf_tapset = d->celt.postfilter_tapset;
+    int start = 0;
+    if (pi.mode == 1) {
+      // hybrid: SILK layer on the host (bit-exact vs libopus), CELT bands
+      // 17+ from the shared range decoder on the device
+      if (!silk_out) return -2;
+      float* silk = silk_out + (size_t)f * ch * 960;
+      int16_t silk_buf[2 * 960];
+      int done = d->silk.decode(dec, pi.silk_khz, pkt_ch, ch,
+                                pi.frame_size / 48, 1, silk_buf);
+      if (done != pi.frame_size || dec.error) return -3;
+      for (int i = 0; i < done; ++i)
+        for (int c = 0; c < ch; ++c)
+          silk[c * 960 + i] = (float)silk_buf[i * ch + c];
+      // redundancy side information needs host celt synthesis state
+      // (RFC 6716 §4.4); pure hybrid streams never carry it
+      if (dec.tell() + 37 <= 8 * pi.sizes[f]) {
+        if (dec.bit_logp(12)) return -12;
+      }
+      start = 17;
+    }
+    int transient = 0;
+    int ret = celt_decode_spectrum_bands(&d->celt, pi.frames[f],
+                                         pi.sizes[f], freq, pi.frame_size,
+                                         &dec, &transient, start,
+                                         pi.end_band);
+    if (ret < 0) return ret;
+    m->samples = ret;
+    m->transient = transient;
+    m->pf_period_new = d->celt.postfilter_period;
+    m->pf_gain_new = d->celt.postfilter_gain;
+    m->pf_tapset_new = d->celt.postfilter_tapset;
+  }
+  d->prev_mode = pi.mode;
+  return pi.nb_frames;
 }
 
-// Batch form: decode `n` consecutive packets of ONE substream in a single
-// call (packets concatenated in `data`, per-packet byte sizes in `sizes`).
-// freq_out is [n][channels][960]; metas is [n]. Eliminates the per-frame
-// FFI round trip and lets the Python layer run one long GIL-free native
-// stretch per substream, so substreams decode on parallel host threads
-// (their codec states are independent by construction — each IAMF
-// substream is a self-contained Opus stream).
-int iamf_opus_decode_spectrum_batch(void* ptr, const unsigned char* data,
-                                    const int* sizes, int n, int channels,
-                                    float* freq_out, SpectrumMeta* metas) {
+// Batch form: decode `n_packets` consecutive packets of ONE substream in a
+// single call (packets concatenated in `data`, per-packet byte sizes in
+// `sizes`). freq_out/silk_out are [n_packets*frames_per_packet][ch][960];
+// metas likewise. One long GIL-free native stretch per substream, so
+// substreams decode on parallel host threads (their codec states are
+// independent by construction — each IAMF substream is a self-contained
+// Opus stream). On error the failing packet index is written to
+// metas[0].samples and the bare error code returned.
+int iamf_opus_decode_spectrum_batch2(void* ptr, const unsigned char* data,
+                                     const int* sizes, int n_packets,
+                                     int frames_per_packet, int channels,
+                                     float* freq_out, float* silk_out,
+                                     SpectrumMeta* metas) {
+  const unsigned char* p = data;
+  for (int k = 0; k < n_packets; ++k) {
+    size_t base = (size_t)k * frames_per_packet;
+    int r = iamf_opus_decode_spectrum_frames(
+        ptr, p, sizes[k], freq_out + base * channels * 960,
+        silk_out ? silk_out + base * channels * 960 : nullptr, metas + base,
+        frames_per_packet);
+    if (r < 0 || r != frames_per_packet) {
+      metas[0].samples = k;
+      return r < 0 ? r : -5;
+    }
+    p += sizes[k];
+  }
+  return n_packets * frames_per_packet;
+}
+
+// Host decode path batch (SILK-only and mixed-mode streams): full float
+// decode of consecutive packets in one GIL-free call; out is
+// [n][samples_per_packet][channels] interleaved.
+int iamf_opus_decode_float_batch(void* ptr, const unsigned char* data,
+                                 const int* sizes, int n, float* out,
+                                 int samples_per_packet) {
+  OpusDec* d = (OpusDec*)ptr;
   const unsigned char* p = data;
   for (int k = 0; k < n; ++k) {
-    int r = iamf_opus_decode_spectrum(ptr, p, sizes[k],
-                                      freq_out + (size_t)k * channels * 960,
-                                      metas + k);
-    if (r < 0) {
-      // report the failing frame unambiguously: error code in the return,
-      // frame index in metas[0].samples (a dedicated out-slot; the old
-      // -(k*100000)+r encoding collided with plain error codes)
-      metas[0].samples = k;
-      return r;
-    }
+    int r = iamf_opus_decode_float(
+        ptr, p, sizes[k],
+        out + (size_t)k * samples_per_packet * d->channels,
+        samples_per_packet);
+    if (r < 0) return r;
+    if (r != samples_per_packet) return -5;
     p += sizes[k];
   }
   return n;
