@@ -79,6 +79,10 @@ class IAMFDecoder:
         self.threshold_db = -1.0
         self.mix_presentation_id: Optional[int] = None
         self.samsung_tv = False
+        # H2M LFE synthesis from W (analogue of a DISABLE_LFE_HOA=0
+        # reference build, ae_rdr.h:63-65 / h2m_rdr.c:1198-1238);
+        # default off to match the reference's default build
+        self.lfe_hoa = False
 
         self.limiter: Optional[Limiter] = None
         self.resampler: Optional[Resampler] = None
@@ -137,6 +141,12 @@ class IAMFDecoder:
     def set_pts(self, pts: int, time_base: int) -> None:
         self.pts = pts
         self.pts_time_base = time_base
+
+    def set_hoa_lfe_synthesis(self, enable: bool) -> None:
+        """Enable the H2M LFE-synthesis branch (120 Hz biquad on W into
+        the LFE slots) — the runtime analogue of building the reference
+        with -DDISABLE_LFE_HOA=0 (ae_rdr.h:63-65)."""
+        self.lfe_hoa = enable
 
     def get_last_metadata(self) -> ExtraData:
         return self.metadata
@@ -321,7 +331,8 @@ class IAMFDecoder:
             self.streams.append(stream)
             self.decoders.append(dec)
             self.renderers.append(
-                StreamRenderer(stream, econf.headphones_rendering_mode)
+                StreamRenderer(stream, econf.headphones_rendering_mode,
+                               lfe_hoa=self.lfe_hoa)
             )
 
         # output mix gain

@@ -556,12 +556,17 @@ class StreamRenderer:
     """Render one element's frame to the target layout
     (IAMF_StreamRenderer, IAMF_decoder.c:2440-2660)."""
 
-    def __init__(self, stream: Stream, headphones_rendering_mode: int = 0):
+    def __init__(self, stream: Stream, headphones_rendering_mode: int = 0,
+                 lfe_hoa: bool = False):
         self.stream = stream
         self.offset = 0
         self.headphones_rendering_mode = headphones_rendering_mode
         self.downmixer: Optional[DownmixerState] = None
         self.hrtf = None  # lazily created HRTF conv renderer (M2B/H2B)
+        # H2M LFE synthesis from W (the DISABLE_LFE_HOA=0 reference build,
+        # h2m_rdr.c:1198-1238): 120 Hz biquad, state across frames
+        self.lfe_hoa = lfe_hoa
+        self.lfe_filter = None
         layout = stream.final_layout
 
         if (
@@ -647,4 +652,30 @@ class StreamRenderer:
             full = rdr.h2m_full_matrix(
                 order, layout.render_id, out_ch, layout.samsung_tv
             )
-            return _accumulate_render(full.T, x)
+            out = _accumulate_render(full.T, x)
+            if self.lfe_hoa:
+                # LFE synthesis branch (h2m_rdr.c:1152-1190, the
+                # DISABLE_LFE_HOA=0 build): the LFE slot(s) get the
+                # 120 Hz-low-passed W channel, scaled by 0.5 (n_size<=2)
+                # or 1/sqrt(n_size); one filter update per sample, lfe2
+                # copying lfe1
+                mat, _, lfe1, lfe2 = rdr.h2m_matrix(
+                    order, layout.render_id, layout.samsung_tv)
+                if lfe1 >= 0 or lfe2 >= 0:
+                    if self.lfe_filter is None:
+                        self.lfe_filter = rdr.LFEFilter(
+                            120.0, s.sampling_rate)
+                    n_size = mat.shape[0]
+                    y = self.lfe_filter.process(
+                        np.asarray(x[0], dtype=np.float32))
+                    if n_size <= 2:
+                        sig = (np.float64(0.5) * y).astype(np.float32)
+                    else:
+                        sig = (y.astype(np.float64)
+                               / np.sqrt(np.float64(n_size))
+                               ).astype(np.float32)
+                    if 0 <= lfe1 < out_ch:
+                        out[lfe1] = sig
+                    if 0 <= lfe2 < out_ch:
+                        out[lfe2] = sig
+            return out

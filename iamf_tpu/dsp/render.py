@@ -116,3 +116,49 @@ def h2m_full_matrix(
 def hoa_order_for_channels(channels: int) -> int:
     """iamf_stream_ambisionisc_order (IAMF_decoder.c:2392-2401)."""
     return {1: 0, 4: 1, 9: 2, 16: 3}.get(channels, -1)
+
+
+class LFEFilter:
+    """The H2M LFE-synthesis biquad (h2m_rdr.c lfefilter_init/update
+    :1198-1238, enabled by a DISABLE_LFE_HOA=0 reference build): a
+    2nd-order bilinear-transform low-pass (120 Hz default) applied to the
+    ambisonics W channel, with input/output history carried across frames.
+    All arithmetic replicated in float32 in the reference's evaluation
+    order so the serial path diffs bit-exactly against that build."""
+
+    def __init__(self, cutoff_hz: float = 120.0, rate: float = 48000.0):
+        import math
+
+        f32 = np.float32
+        # C: float dt = 1/sample_rate + 1.0e-10 (double add, float store)
+        dt = f32(np.float64(f32(1.0) / f32(rate)) + 1.0e-10)
+        if cutoff_hz <= 0:
+            self.a1 = self.a2 = self.a3 = self.b1 = self.b2 = f32(0)
+        else:
+            # C: c = 1.0f / tanf(M_PI * cutoff * dt) — double product
+            # narrowed to float for tanf
+            arg = f32(math.pi * np.float64(cutoff_hz) * np.float64(dt))
+            c = f32(1.0) / f32(math.tan(np.float64(arg)))
+            self.a1 = f32(1.0) / (f32(1.0) + c + c * c)
+            self.a2 = f32(2.0) * self.a1
+            self.a3 = self.a1
+            self.b1 = f32(2.0) * (f32(1.0) - c * c) * self.a1
+            self.b2 = (f32(1.0) - c + c * c) * self.a1
+        self.ih = [np.float32(0.0), np.float32(0.0)]
+        self.oh = [np.float32(0.0), np.float32(0.0)]
+
+    def process(self, w: np.ndarray) -> np.ndarray:
+        """Filter the W channel [T] -> LFE signal [T] (pre output scale)."""
+        out = np.empty_like(w, dtype=np.float32)
+        a1, a2, a3, b1, b2 = self.a1, self.a2, self.a3, self.b1, self.b2
+        ih0, ih1 = self.ih
+        oh0, oh1 = self.oh
+        for j in range(len(w)):
+            x = np.float32(w[j])
+            y = a1 * x + a2 * ih0 + a3 * ih1 - b1 * oh0 - b2 * oh1
+            ih1, ih0 = ih0, x
+            oh1, oh0 = oh0, y
+            out[j] = y
+        self.ih = [ih0, ih1]
+        self.oh = [oh0, oh1]
+        return out

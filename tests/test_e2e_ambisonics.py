@@ -54,3 +54,33 @@ def test_disable_limiter(tmp_path):
     )
     ours = ours_decode(stream, 1, peak_limiter_enable=False)
     assert_bitexact(ours, ref)
+
+
+def test_hoa_lfe_synthesis_vs_lfe_build(tmp_path):
+    """H2M LFE-synthesis branch (h2m_rdr.c:1198-1238, 120 Hz biquad on W
+    into the LFE slot) vs a reference player built with
+    -DDISABLE_LFE_HOA=0 (/tmp/refplayer_lfe; ordinary builds default the
+    branch off, ae_rdr.h:63-65)."""
+    import os
+
+    REF_LFE = "/tmp/refplayer_lfe/iamfplayer"
+    if not os.path.exists(REF_LFE):
+        pytest.skip("DISABLE_LFE_HOA=0 reference player not built")
+    stream, _ = vectors.build_ambisonics_pcm_stream(order=1, n_frames=6)
+    wav = vectors.decode_with_reference(
+        REF_LFE, stream, str(tmp_path), sound_system="1")
+    from iamf_tpu.utils.wav import read_wav
+
+    ref, _, _ = read_wav(wav)
+    ours = ours_decode(stream, 1, hoa_lfe_synthesis=True)
+    assert_close(ours, ref, max_lsb=1, frac=0)
+    # the branch must actually fire: LFE channel (5.1 index 3) non-zero
+    assert np.abs(np.asarray(ours)[:, 3]).max() > 0
+
+
+def test_hoa_lfe_synthesis_default_off(tmp_path):
+    """Default build parity unchanged: without the flag the LFE slot is
+    zero-filled (h2m_rdr.c:1140-1148)."""
+    stream, _ = vectors.build_ambisonics_pcm_stream(order=1, n_frames=4)
+    ours = ours_decode(stream, 1)
+    assert np.abs(np.asarray(ours)[:, 3]).max() == 0
