@@ -61,24 +61,11 @@ def _free_port() -> int:
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("sub_axis", [1, 2],
-                          ids=["frames-mesh", "frames-x-substreams"])
-def test_two_host_decode_matches_single_host(tmp_path, sub_axis):
-    """1-D frames mesh, and the 2-D (frames, substreams) mesh whose
-    all_gather collective crosses the process (DCN/Gloo) boundary."""
-    n_frames, T = 24, 960
-    pcm = vectors.sine_pcm(n_frames * T, 12, 48000, amp=0.4, bits=16, seed=7)
-    burst = vectors.sine_pcm(2 * T, 12, 48000, amp=1.4, bits=16, seed=8)
-    pcm[11 * T:13 * T] = np.clip(burst, -32768, 32767)  # limiter live at
-    # the boundary between the two hosts' shard groups
-    stream, _src = vectors.build_pcm_layout_stream(
-        ChannelLayout.L714, n_frames=n_frames, frame_size=T,
-        pcm_override=pcm)
+def _run_cluster(tmp_path, stream: bytes, n_proc: int, per_host: int,
+                 sub_axis: int = 1):
+    """Launch the fake cluster on `stream`; returns host-0's gathered PCM."""
     spath = tmp_path / "s.iamf"
     spath.write_bytes(stream)
-    want = BatchedStreamDecoder(stream, sound_system=9,
-                                batch_frames=8).decode_all()
-
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     out = tmp_path / "pcm.npy"
@@ -90,10 +77,10 @@ def test_two_host_decode_matches_single_host(tmp_path, sub_axis):
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port),
-             str(spath), str(out), "4", str(sub_axis)],
+            [sys.executable, str(worker), str(i), str(n_proc), str(port),
+             str(spath), str(out), str(per_host), str(sub_axis)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)
+        for i in range(n_proc)
     ]
     logs = []
     for p in procs:
@@ -101,7 +88,55 @@ def test_two_host_decode_matches_single_host(tmp_path, sub_axis):
         logs.append(stdout.decode(errors="replace"))
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
-    got = np.load(out)
+    return np.load(out)
+
+
+@_pytest.mark.parametrize("sub_axis", [1, 2],
+                          ids=["frames-mesh", "frames-x-substreams"])
+def test_two_host_decode_matches_single_host(tmp_path, sub_axis):
+    """1-D frames mesh, and the 2-D (frames, substreams) mesh whose
+    lane-gather collective crosses the process (DCN/Gloo) boundary."""
+    n_frames, T = 24, 960
+    pcm = vectors.sine_pcm(n_frames * T, 12, 48000, amp=0.4, bits=16, seed=7)
+    burst = vectors.sine_pcm(2 * T, 12, 48000, amp=1.4, bits=16, seed=8)
+    pcm[11 * T:13 * T] = np.clip(burst, -32768, 32767)  # limiter live at
+    # the boundary between the two hosts' shard groups
+    stream, _src = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=T,
+        pcm_override=pcm)
+    want = BatchedStreamDecoder(stream, sound_system=9,
+                                batch_frames=8).decode_all()
+    got = _run_cluster(tmp_path, stream, 2, 4, sub_axis)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), (
+        f"max diff {np.abs(got.astype(np.int64) - want.astype(np.int64)).max()}")
+
+
+def test_two_host_opus_decode(tmp_path):
+    """Opus 7.1.4 over the 2-host cluster: the device CELT synthesis runs
+    sharded with the roll-distance preroll re-decode, and the comb/
+    de-emphasis/limiter ppermute carry chains cross the process (Gloo)
+    boundary. <=1 LSB vs the single-process batched decode."""
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.L714, n_frames=24, amp=0.4)
+    want = BatchedStreamDecoder(stream, sound_system=9,
+                                batch_frames=8).decode_all()
+    got = _run_cluster(tmp_path, stream, 2, 4)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_three_host_uneven_shards(tmp_path):
+    """3 processes x 2 devices (a >2-process topology) on a frame count
+    (17) that does NOT divide the 6-shard mesh: the tail shard decodes
+    padded rows that are sliced off by the ordered gather."""
+    n_frames, T = 17, 960
+    stream, _src = vectors.build_pcm_layout_stream(
+        ChannelLayout.L714, n_frames=n_frames, frame_size=T, amp=0.5)
+    want = BatchedStreamDecoder(stream, sound_system=9,
+                                batch_frames=8).decode_all()
+    got = _run_cluster(tmp_path, stream, 3, 2)
     assert got.shape == want.shape
     assert np.array_equal(got, want), (
         f"max diff {np.abs(got.astype(np.int64) - want.astype(np.int64)).max()}")
