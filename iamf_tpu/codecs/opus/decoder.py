@@ -65,6 +65,16 @@ def _load_native():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(SpectrumMeta),
     ]
+    _lib.iamf_opus_decode_spectrum_batch3.restype = ctypes.c_int
+    _lib.iamf_opus_decode_spectrum_batch3.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(SpectrumMeta),
+    ]
+    _lib.iamf_opus_prof_read.restype = None
+    _lib.iamf_opus_prof_read.argtypes = [
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
     _lib.iamf_opus_decode_float_batch.restype = ctypes.c_int
     _lib.iamf_opus_decode_float_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -229,6 +239,9 @@ class OpusDecoder(CodecDecoder):
         # inside the call, in frame order).
         lanes = np.cumsum([0] + [ch for _, ch in self._decoders])
 
+        W = buf.shape[2]
+        L_total = buf.shape[1]
+
         def run_substream(i):
             ptr, ch = self._decoders[i]
             pkts = [frames[b][i] for b in range(B)]
@@ -236,16 +249,16 @@ class OpusDecoder(CodecDecoder):
                 raise ValueError("missing opus sub packet")
             blob = b"".join(bytes(p) for p in pkts)
             sizes = np.array([len(p) for p in pkts], np.int32)
-            fout = np.zeros((R, ch, 960), np.float32)
-            sout = np.zeros((R, ch, 960), np.float32) if hybrid else None
             metas = (SpectrumMeta * R)()
-            r = lib.iamf_opus_decode_spectrum_batch2(
+            # strided export: the native decode writes each frame's spectrum
+            # (and hybrid SILK pcm) straight into this substream's lane rows
+            # of the packed h2d buffer — no [R][ch][960] scratch, no Python
+            # scatter copy (~70 MB/stream saved on the entropy hot path)
+            fbase = int(buf.ctypes.data + 4 * int(lanes[i]) * W)
+            sbase = fbase + 4 * (n + N_PARAMS) if hybrid else None
+            r = lib.iamf_opus_decode_spectrum_batch3(
                 ptr, blob, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                B, k, ch,
-                fout.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                sout.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-                if hybrid else None,
-                metas)
+                B, k, L_total * W, W, fbase, sbase, metas)
             if r < 0:
                 # on error the native batch writes the failing packet index
                 # into metas[0].samples and returns the bare error code
@@ -253,9 +266,6 @@ class OpusDecoder(CodecDecoder):
                     f"opus spectrum decode failed ({r}) at batch packet "
                     f"{metas[0].samples} of substream {i}")
             sl = slice(lanes[i], lanes[i + 1])
-            buf[:, sl, :n] = fout[..., :n]
-            if hybrid:
-                buf[:, sl, n + N_PARAMS:] = sout[..., :n]
             m = np.frombuffer(memoryview(metas), dtype=np.int32).reshape(
                 R, len(SpectrumMeta._fields_))
             mf = m.view(np.float32)
@@ -273,14 +283,20 @@ class OpusDecoder(CodecDecoder):
             g_new[:, sl] = (mf[:, c["pf_gain_new"], None]
                             * gains_tab[m[:, c["pf_tapset_new"]]])[:, None, :]
 
-        if len(self._decoders) > 1 and B > 1:
+        if (len(self._decoders) > 1 and B > 1
+                and not os.environ.get("IAMF_OPUS_SERIAL")):
             # one long-lived executor per decoder instance: creating and
             # tearing a pool down per batch adds thread spawn/join overhead
-            # on the hot path
+            # on the hot path (IAMF_OPUS_SERIAL=1 forces the sequential
+            # path — single-threaded profiling / contention diagnosis)
             if self._pool is None:
                 import concurrent.futures as _cf
 
-                self._pool = _cf.ThreadPoolExecutor(len(self._decoders))
+                # pool sized to the host cores, not the substream count:
+                # 7 threads on a 2-core box only adds context switching,
+                # and in aggregate serving N streams each carry a pool
+                self._pool = _cf.ThreadPoolExecutor(
+                    min(len(self._decoders), os.cpu_count() or 2))
             list(self._pool.map(run_substream, range(len(self._decoders))))
         else:
             for i in range(len(self._decoders)):
@@ -351,7 +367,11 @@ class OpusDecoder(CodecDecoder):
             if self._pool is None:
                 import concurrent.futures as _cf
 
-                self._pool = _cf.ThreadPoolExecutor(len(self._decoders))
+                # pool sized to the host cores, not the substream count:
+                # 7 threads on a 2-core box only adds context switching,
+                # and in aggregate serving N streams each carry a pool
+                self._pool = _cf.ThreadPoolExecutor(
+                    min(len(self._decoders), os.cpu_count() or 2))
             list(self._pool.map(run_substream, range(len(self._decoders))))
         else:
             for i in range(len(self._decoders)):

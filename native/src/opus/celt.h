@@ -7,6 +7,7 @@
 
 #pragma once
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 
@@ -31,6 +32,13 @@ constexpr int COMBFILTER_MAXPERIOD = 1024;
 constexpr int COMBFILTER_MINPERIOD = 15;
 constexpr int DECODE_BUFFER_SIZE = 2048;
 constexpr float CELT_SIG_SCALE = 32768.f;
+
+// IAMF_PROF=1: nanosecond accumulators over the spectrum-export stages
+// (0 pre-band entropy, 1 quant_all_bands PVQ, 2 anti-collapse+denorm+state,
+// 3 hybrid SILK, 4 decode_pulses/cwrs, 5 exp_rotation — 4/5 nest inside 1).
+// Read/reset via iamf_opus_prof_read (opus_dec.cc).
+extern std::atomic<long long> prof_ns[8];
+bool prof_enabled();
 
 // mode accessors (48 kHz, shortMdctSize=120, 21 bands)
 const short* mode_eBands();       // [22]
@@ -184,9 +192,12 @@ int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
                          int* transient_out);
 
 // Band-restricted spectrum export (hybrid start=17 / NB-WB end bands).
+// freq_stride: float distance between the two channels' export rows (the
+// batch3 API writes straight into the packed [R, L, W] h2d buffer).
 int celt_decode_spectrum_bands(CeltDecoder* st, const unsigned char* data,
                                int len, float* freq_out, int frame_size,
                                EntDec* dec, int* transient_out,
-                               int start_band, int end_band);
+                               int start_band, int end_band,
+                               long freq_stride = 960);
 
 }  // namespace iamf_opus

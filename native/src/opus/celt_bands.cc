@@ -5,6 +5,8 @@
 #include <cmath>
 #include <cstring>
 
+#include "prof_tsc.h"
+
 #include "celt.h"
 #include "celt_tables.h"
 
@@ -95,6 +97,7 @@ static int compute_qn(int N, int b, int offset, int pulse_cap, int stereo) {
 static void compute_theta(BandCtx* ctx, SplitCtx* sctx, float* X, float* Y,
                           int N, int* b, int B, int B0, int LM, int stereo,
                           int* fill) {
+  ProfTsc _pt(6);
   int qn;
   int itheta = 0;
   int delta;

@@ -3,6 +3,7 @@
 // decode, anti-collapse, denormalisation, IMDCT synthesis, post-filter
 // (comb), de-emphasis.
 
+#include <chrono>
 #include <cmath>
 #include <cstring>
 
@@ -15,6 +16,12 @@
 namespace iamf_opus {
 
 BandTap g_band_tap;
+
+std::atomic<long long> prof_ns[8];
+bool prof_enabled() {
+  static const bool on = getenv("IAMF_PROF") != nullptr;
+  return on;
+}
 
 static inline int imin(int a, int b) { return a < b ? a : b; }
 static inline int imax(int a, int b) { return a > b ? a : b; }
@@ -87,7 +94,20 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
                                 int len, float* pcm, int frame_size,
                                 EntDec* dec, float* freq_export,
                                 int* transient_out, int start_band = 0,
-                                int end_band = NB_EBANDS) {
+                                int end_band = NB_EBANDS,
+                                long freq_stride = 960) {
+  const bool _prof = prof_enabled();
+  std::chrono::steady_clock::time_point _pt;
+  if (_prof) _pt = std::chrono::steady_clock::now();
+  auto _mark = [&](int slot) {
+    if (!_prof) return;
+    auto n = std::chrono::steady_clock::now();
+    prof_ns[slot].fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(n - _pt)
+            .count(),
+        std::memory_order_relaxed);
+    _pt = n;
+  };
   const short* eBands = mode_eBands();
   int C = st->stream_channels;
   int CC = st->channels;
@@ -235,11 +255,13 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
     tap->seed_in = seed;
   }
 
+  _mark(0);
   quant_all_bands_decode(start, end, X, Y, collapse_masks, pulses, shortBlocks,
                          spread_decision, dual_stereo, intensity, tf_res,
                          len * 8 << BITRES, balance, *dec, LM, codedBands,
                          &seed);
   st->rng = seed;
+  _mark(1);
 
   if (tap) {
     int M = 1 << LM;
@@ -279,8 +301,8 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
     // to the device; fall through to the shared state bookkeeping below
     for (int c = 0; c < CC; ++c) {
       const float* Xc = c == 0 || !Y ? X : Y;
-      denormalise_bands(Xc, freq_export + c * 960, oldBandE + c * NB_EBANDS,
-                        start, effEnd, M, silence);
+      denormalise_bands(Xc, freq_export + c * freq_stride,
+                        oldBandE + c * NB_EBANDS, start, effEnd, M, silence);
     }
     // post-filter param rollover, exactly as the synthesis path below
     st->postfilter_period = imax(st->postfilter_period, COMBFILTER_MINPERIOD);
@@ -318,6 +340,7 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
     }
     st->loss_duration = 0;
     st->rng = dec->rng;
+    _mark(2);
     return N;
   }
 
@@ -444,9 +467,11 @@ int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
 int celt_decode_spectrum_bands(CeltDecoder* st, const unsigned char* data,
                                int len, float* freq_out, int frame_size,
                                EntDec* dec, int* transient_out,
-                               int start_band, int end_band) {
+                               int start_band, int end_band,
+                               long freq_stride) {
   return celt_decode_frame_ex(st, data, len, nullptr, frame_size, dec,
-                              freq_out, transient_out, start_band, end_band);
+                              freq_out, transient_out, start_band, end_band,
+                              freq_stride);
 }
 
 }  // namespace iamf_opus

@@ -5,6 +5,8 @@
 #include <cmath>
 #include <cstring>
 
+#include "prof_tsc.h"
+
 #include "celt.h"
 #include "celt_tables.h"
 
@@ -117,6 +119,7 @@ static void cwrsi(int n, int k, uint32_t i, int* y) {
 }
 
 void decode_pulses(int* y, int n, int k, EntDec& dec) {
+  ProfTsc _pt(4);
   cwrsi(n, k, dec.uint(V(n, k)), y);
 }
 
@@ -139,6 +142,7 @@ static void exp_rotation1(float* X, int len, int stride, float c, float s) {
 }
 
 void exp_rotation(float* X, int len, int dir, int stride, int K, int spread) {
+  ProfTsc _pt(5);
   int stride2 = 0;
   if (2 * K >= len || spread == SPREAD_NONE) return;
   int factor = SPREAD_FACTOR[spread - 1];
@@ -187,9 +191,12 @@ unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
   int iy[256];
   decode_pulses(iy, N, K, dec);
   float Ryy = 0;
-  for (int j = 0; j < N; ++j) Ryy += (float)iy[j] * (float)iy[j];
+  for (int j = 0; j < N; ++j) {
+    X[j] = (float)iy[j];  // one pass: int->float convert + energy
+    Ryy += X[j] * X[j];
+  }
   float g = gain / sqrtf(Ryy);
-  for (int j = 0; j < N; ++j) X[j] = g * (float)iy[j];
+  for (int j = 0; j < N; ++j) X[j] *= g;
   exp_rotation(X, N, -1, B, K, spread);
   return extract_collapse_mask(iy, N, B);
 }

@@ -21,12 +21,8 @@ constexpr uint32_t EC_WINDOW_SIZE = 32;
 constexpr uint32_t EC_UINT_BITS = 8;
 
 inline int ec_ilog(uint32_t v) {
-  int ret = 0;
-  while (v) {
-    ++ret;
-    v >>= 1;
-  }
-  return ret;
+  // position of the highest set bit + 1; hot (tell/tell_frac run per band)
+  return v ? 32 - __builtin_clz(v) : 0;
 }
 
 struct EntDec {

@@ -7,6 +7,7 @@
 // by decoding to s16 (saturating round-to-nearest, opus float2int16) then
 // dividing by 32768 (IAMF_opus_decoder.c:130-136).
 
+#include <chrono>
 #include <cmath>
 #include <cstdlib>
 #include <cstring>
@@ -412,6 +413,16 @@ extern "C" void iamf_soft_clip(float* x, int N, int C, float* mem) {
   pcm_soft_clip(x, N, C, mem);
 }
 
+// IAMF_PROF=1 stage accumulators (celt.h prof_ns): out[4] receives
+// nanoseconds spent in {pre-band entropy, quant_all_bands PVQ,
+// anti-collapse+denormalise+state, hybrid SILK}; reset!=0 zeroes them.
+extern "C" void iamf_opus_prof_read(long long* out, int reset) {
+  for (int i = 0; i < 8; ++i) {
+    out[i] = iamf_opus::prof_ns[i].load(std::memory_order_relaxed);
+    if (reset) iamf_opus::prof_ns[i].store(0, std::memory_order_relaxed);
+  }
+}
+
 // ---- spectrum-export API for the TPU synthesis path --------------------
 // Decodes the entropy/PVQ layers on the host and exports the denormalised
 // spectrum (freq domain, [C][960] stride, first N entries valid) plus
@@ -447,11 +458,11 @@ struct SpectrumMeta {
 // Returns frames decoded, or negative error (-10 silk-only, -12 hybrid
 // redundancy side information — mode-transition streams take the host
 // decode path).
-int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
-                                     int len, float* freq_out,
-                                     float* silk_out, SpectrumMeta* metas,
-                                     int max_frames) {
-  OpusDec* d = (OpusDec*)ptr;
+static int spectrum_frames_strided(OpusDec* d, const unsigned char* data,
+                                   int len, float* freq_base,
+                                   float* silk_base, long row_stride,
+                                   long ch_stride, SpectrumMeta* metas,
+                                   int max_frames) {
   PacketInfo pi;
   if (parse_packet(data, len, &pi) < 0) return -4;
   if (pi.mode == 0) return -10;
@@ -460,7 +471,7 @@ int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
   int pkt_ch = pi.stereo ? 2 : 1;
   d->celt.stream_channels = pkt_ch;
   for (int f = 0; f < pi.nb_frames; ++f) {
-    float* freq = freq_out + (size_t)f * ch * 960;
+    float* freq = freq_base + (size_t)f * row_stride;
     SpectrumMeta* m = metas + f;
     EntDec dec;
     dec.init(pi.frames[f], (uint32_t)pi.sizes[f]);
@@ -474,15 +485,22 @@ int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
     if (pi.mode == 1) {
       // hybrid: SILK layer on the host (bit-exact vs libopus), CELT bands
       // 17+ from the shared range decoder on the device
-      if (!silk_out) return -2;
-      float* silk = silk_out + (size_t)f * ch * 960;
+      if (!silk_base) return -2;
+      float* silk = silk_base + (size_t)f * row_stride;
       int16_t silk_buf[2 * 960];
+      std::chrono::steady_clock::time_point _st;
+      if (iamf_opus::prof_enabled()) _st = std::chrono::steady_clock::now();
       int done = d->silk.decode(dec, pi.silk_khz, pkt_ch, ch,
                                 pi.frame_size / 48, 1, silk_buf);
+      if (iamf_opus::prof_enabled())
+        iamf_opus::prof_ns[3].fetch_add(
+            std::chrono::duration_cast<std::chrono::nanoseconds>(
+                std::chrono::steady_clock::now() - _st).count(),
+            std::memory_order_relaxed);
       if (done != pi.frame_size || dec.error) return -3;
       for (int i = 0; i < done; ++i)
         for (int c = 0; c < ch; ++c)
-          silk[c * 960 + i] = (float)silk_buf[i * ch + c];
+          silk[c * ch_stride + i] = (float)silk_buf[i * ch + c];
       // redundancy side information needs host celt synthesis state
       // (RFC 6716 §4.4); pure hybrid streams never carry it
       if (dec.tell() + 37 <= 8 * pi.sizes[f]) {
@@ -494,7 +512,7 @@ int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
     int ret = celt_decode_spectrum_bands(&d->celt, pi.frames[f],
                                          pi.sizes[f], freq, pi.frame_size,
                                          &dec, &transient, start,
-                                         pi.end_band);
+                                         pi.end_band, ch_stride);
     if (ret < 0) return ret;
     m->samples = ret;
     m->transient = transient;
@@ -504,6 +522,16 @@ int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
   }
   d->prev_mode = pi.mode;
   return pi.nb_frames;
+}
+
+int iamf_opus_decode_spectrum_frames(void* ptr, const unsigned char* data,
+                                     int len, float* freq_out,
+                                     float* silk_out, SpectrumMeta* metas,
+                                     int max_frames) {
+  OpusDec* d = (OpusDec*)ptr;
+  long ch = d->channels;
+  return spectrum_frames_strided(d, data, len, freq_out, silk_out, ch * 960,
+                                 960, metas, max_frames);
 }
 
 // Batch form: decode `n_packets` consecutive packets of ONE substream in a
@@ -522,10 +550,38 @@ int iamf_opus_decode_spectrum_batch2(void* ptr, const unsigned char* data,
   const unsigned char* p = data;
   for (int k = 0; k < n_packets; ++k) {
     size_t base = (size_t)k * frames_per_packet;
-    int r = iamf_opus_decode_spectrum_frames(
-        ptr, p, sizes[k], freq_out + base * channels * 960,
-        silk_out ? silk_out + base * channels * 960 : nullptr, metas + base,
-        frames_per_packet);
+    int r = spectrum_frames_strided(
+        (OpusDec*)ptr, p, sizes[k], freq_out + base * channels * 960,
+        silk_out ? silk_out + base * channels * 960 : nullptr,
+        (long)channels * 960, 960, metas + base, frames_per_packet);
+    if (r < 0 || r != frames_per_packet) {
+      metas[0].samples = k;
+      return r < 0 ? r : -5;
+    }
+    p += sizes[k];
+  }
+  return n_packets * frames_per_packet;
+}
+
+// Strided batch form: identical to batch2 but writes every exported row
+// straight into the caller's packed [R, L, W] float32 h2d buffer (freq at
+// column 0 of this substream's first lane; hybrid SILK pcm at silk_base =
+// freq_base + packed silk column offset). row_stride = L*W floats between
+// consecutive frame rows, ch_stride = W floats between the substream's
+// lanes — eliminates the [R][ch][960] scratch array and the Python-side
+// 70 MB/stream scatter copy the old API required.
+int iamf_opus_decode_spectrum_batch3(void* ptr, const unsigned char* data,
+                                     const int* sizes, int n_packets,
+                                     int frames_per_packet, long long row_stride,
+                                     long long ch_stride, float* freq_base,
+                                     float* silk_base, SpectrumMeta* metas) {
+  const unsigned char* p = data;
+  for (int k = 0; k < n_packets; ++k) {
+    size_t base = (size_t)k * frames_per_packet;
+    int r = spectrum_frames_strided(
+        (OpusDec*)ptr, p, sizes[k], freq_base + base * row_stride,
+        silk_base ? silk_base + base * row_stride : nullptr,
+        (long)row_stride, (long)ch_stride, metas + base, frames_per_packet);
     if (r < 0 || r != frames_per_packet) {
       metas[0].samples = k;
       return r < 0 ? r : -5;
