@@ -665,17 +665,20 @@ class BatchedStreamDecoder:
                     futs.append((i, e, start, count))
             return count, futs
 
-        # Fetch whole batch arrays concurrently while later batches are
-        # still being enqueued/computed: the axon-tunneled d2h path is
-        # chunk-size sensitive (sliced/lazy arrays, sub-16KB chunks and 3-D
-        # int16 layouts are 10-1000x slower than flat ~3 MB whole-buffer
-        # fetches), and overlapping fetch with compute hides most of the
-        # transfer time. copy_to_host_async() enqueued at dispatch time
-        # plus >=8 reader threads roughly doubles effective d2h throughput
-        # over threaded np.asarray alone (aggregate ceiling ~50 MB/s).
+        # Fetch policy (measured on the axon tunnel, see TRACE.md): fetch
+        # NOTHING until every batch is dispatched. In-loop fetches share
+        # the tunnel's single connection with the next batches' h2d puts,
+        # and each put then queues behind in-flight d2h chunks — measured
+        # ~0.9 s of added dispatch wall on a 30 s stream, making the
+        # "overlapped" path SLOWER than strictly sequencing h2d-then-d2h.
+        # After the last dispatch, >=8 reader threads pull whole batch
+        # buffers concurrently (parallel 3 MB fetches aggregate ~2x the
+        # single-stream d2h rate; sub-16KB chunks / sliced 3-D layouts are
+        # 10-1000x slower and must never hit this path), overlapping the
+        # tail batches' device compute. On non-tunneled hardware (PCIe DMA
+        # at GB/s) the fetch tail is negligible either way.
         fetch_pool = _cf.ThreadPoolExecutor(8) if (
             fetch and not self.needs_resample) else None
-        fetch_futs = []
         device_outs = []
         def _kind(e):
             if e.opus:
@@ -728,15 +731,6 @@ class BatchedStreamDecoder:
             step_carry, pcm = _fused_decode(
                 self.cfg, kinds, step_carry, stream_params, bufs)
             device_outs.append(pcm)
-            if fetch_pool is not None and bi >= k0:
-                # k0=1 under the head-trim splice: the first call's output
-                # is warm-up zeros that would otherwise waste a ~3 MB pull
-                # through the ~44 MB/s tunnel before being discarded
-                try:
-                    pcm.copy_to_host_async()
-                except AttributeError:  # non-jax array (tests)
-                    pass
-                fetch_futs.append(fetch_pool.submit(np.asarray, pcm))
 
         if entropy_pool is not None:
             entropy_pool.shutdown(wait=False)
@@ -752,9 +746,20 @@ class BatchedStreamDecoder:
             # (smaller) float mix crosses to the host for the output tail
             dev = jnp.concatenate(device_outs[k0:], axis=0)
             return self._resample_tail(dev)
-        fetched = [f.result() for f in fetch_futs]
+        # dispatches (and their h2d puts) are all enqueued: pull every
+        # batch in parallel straight into one preallocated output, skipping
+        # the first k0 warm-up batches (pure zeros under the head-trim
+        # splice — not worth a ~3 MB pull each through the tunnel)
+        to_fetch = device_outs[k0:]
+        rows = B * T
+        full = np.empty((len(to_fetch) * rows, int(to_fetch[0].shape[1])),
+                        dtype=np.dtype(str(to_fetch[0].dtype)))
+
+        def _pull(i):
+            full[i * rows:(i + 1) * rows] = np.asarray(to_fetch[i])
+
+        list(fetch_pool.map(_pull, range(len(to_fetch))))
         fetch_pool.shutdown()
-        full = np.concatenate(fetched, axis=0)  # futures already start at k0
         if self.cfg.limiter is not None:
             # limiter look-ahead: drop the first delay_size rows; the
             # trailing pad batches already pushed zeros through the delay

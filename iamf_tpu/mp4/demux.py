@@ -47,6 +47,10 @@ class Track:
     elst_media_time: int = 0
     default_sample_duration: int = 0
     default_sample_size: int = 0
+    # 'roll' sample-group pre-roll distance (sgpd box; the reference reads
+    # this box only under SUPPORT_VERIFIER — mp4demux.c:88,849 — and takes
+    # roll from the Codec Config OBU; we surface both, see iamf_track)
+    roll_distance: Optional[int] = None
     # flattened per-sample (offset, size, sample_desc_index)
     samples: list = dataclasses.field(default_factory=list)
     deltas: list = dataclasses.field(default_factory=list)
@@ -212,6 +216,23 @@ class MP4Demuxer:
                 n = _u32(d, body + 4)
                 off = body + 8
                 trk.chunk_offsets = [_u64(d, off + 8 * i) for i in range(n)]
+            elif btype == b"sgpd":
+                ver = d[body]
+                if d[body + 4 : body + 8] != b"roll":
+                    continue
+                off = body + 8
+                default_length = 0
+                if ver >= 1:
+                    default_length = _u32(d, off)
+                    off += 4
+                if ver >= 2:
+                    off += 4  # default_sample_description_index
+                n = _u32(d, off)
+                off += 4
+                if n >= 1:
+                    if ver == 1 and default_length == 0:
+                        off += 4  # per-entry description_length
+                    trk.roll_distance = struct.unpack_from(">h", d, off)[0]
 
     def _flatten_samples(self, trk: Track) -> None:
         """Build per-sample (offset, size, desc_index) from chunk maps."""

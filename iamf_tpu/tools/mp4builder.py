@@ -29,8 +29,16 @@ def mux_iamf_mp4(
     channels: int = 2,
     bits: int = 16,
     media_time: int = 0,
+    roll_distance: int | None = None,
 ) -> bytes:
-    """Build a complete .mp4 byte string."""
+    """Build a complete .mp4 byte string.
+
+    roll_distance: when set, writes the 'roll' sample-group boxes
+    (sbgp + sgpd v1 with a signed-16 roll distance entry) the IAMF-in-MP4
+    encapsulation prescribes for pre-roll signalling; the reference reads
+    the box only under SUPPORT_VERIFIER (mp4demux.c:88,849 vlogs it raw),
+    our demuxer also surfaces it as Track.roll_distance.
+    """
     n = len(samples)
     duration = n * frame_size
 
@@ -61,7 +69,14 @@ def mux_iamf_mp4(
     )
     # stco patched after layout known
     stco_placeholder = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco_placeholder)
+    group = b""
+    if roll_distance is not None:
+        sbgp = _full(b"sbgp", 0, 0,
+                     b"roll" + struct.pack(">III", 1, n, 1))
+        sgpd = _full(b"sgpd", 1, 0,
+                     b"roll" + struct.pack(">IIh", 2, 1, roll_distance))
+        group = sbgp + sgpd
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco_placeholder + group)
 
     smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
     dref = _full(

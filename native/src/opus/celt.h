@@ -132,11 +132,13 @@ struct CeltDecoder {
   int error;
   int last_pitch_index;
   int loss_duration;
+  int start_band;  // band range of the last decoded frame (PLC needs it:
+  int end_band;    // noise-fill range / hybrid history detection)
 
   float preemph_memD[2];
   // per-channel synthesis history (DECODE_BUFFER_SIZE) + overlap slack
   float decode_mem[2][DECODE_BUFFER_SIZE + OVERLAP];
-  float lpc_mem[2][24];  // PLC (unused for now)
+  float lpc_mem[2][24];  // PLC LPC coefficients (persist across a loss run)
   float oldEBands[2 * NB_EBANDS];
   float oldLogE[2 * NB_EBANDS];
   float oldLogE2[2 * NB_EBANDS];
@@ -145,8 +147,12 @@ struct CeltDecoder {
   void init(int ch) {
     memset(this, 0, sizeof(*this));
     channels = stream_channels = ch;
+    end_band = NB_EBANDS;
+    // backgroundLogE starts at 0 (libopus clears it but excludes it from
+    // the -28 init loop): the CNG floor creeps up from there, min-capped
+    // by each band's decoded energy
     for (int i = 0; i < 2 * NB_EBANDS; ++i)
-      oldLogE[i] = oldLogE2[i] = backgroundLogE[i] = -28.f;
+      oldLogE[i] = oldLogE2[i] = -28.f;
   }
 };
 
@@ -190,6 +196,13 @@ int celt_decode_frame_bands(CeltDecoder* st, const unsigned char* data,
 int celt_decode_spectrum(CeltDecoder* st, const unsigned char* data, int len,
                          float* freq_out, int frame_size, EntDec* dec,
                          int* transient_out);
+
+// Conceal one lost frame into the decode history (pitch-based PLC /
+// noise CNG, libopus celt_decode_lost semantics; celt_plc.cc).
+void celt_decode_lost(CeltDecoder* st, int N, int LM);
+
+// Conceal + de-emphasis to interleaved float pcm at [-1,1] scale.
+int celt_conceal_frame(CeltDecoder* st, float* pcm, int frame_size);
 
 // Band-restricted spectrum export (hybrid start=17 / NB-WB end bands).
 // freq_stride: float distance between the two channels' export rows (the

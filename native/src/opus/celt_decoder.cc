@@ -338,6 +338,16 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
         oldLogE[c * NB_EBANDS + i] = oldLogE2[c * NB_EBANDS + i] = -28.f;
       }
     }
+    // background (comfort-noise) floor tracking for the PLC noise branch:
+    // rises slowly in normal decode, freely right after a loss run
+    {
+      float max_bg_inc = st->loss_duration == 0 ? M * 0.001f : 1.f;
+      for (int i = 0; i < 2 * NB_EBANDS; ++i)
+        st->backgroundLogE[i] =
+            fminf(st->backgroundLogE[i] + max_bg_inc, oldBandE[i]);
+    }
+    st->start_band = start;
+    st->end_band = end;
     st->loss_duration = 0;
     st->rng = dec->rng;
     _mark(2);
@@ -435,6 +445,15 @@ static int celt_decode_frame_ex(CeltDecoder* st, const unsigned char* data,
     tap->preemph_tap[0] = st->preemph_memD[0];
     tap->preemph_tap[1] = st->preemph_memD[1];
   }
+  // background (comfort-noise) floor tracking for the PLC noise branch
+  {
+    float max_bg_inc = st->loss_duration == 0 ? M * 0.001f : 1.f;
+    for (int i = 0; i < 2 * NB_EBANDS; ++i)
+      st->backgroundLogE[i] =
+          fminf(st->backgroundLogE[i] + max_bg_inc, oldBandE[i]);
+  }
+  st->start_band = start;
+  st->end_band = end;
   // de-emphasis to output
   deemphasis(out_syn, pcm, N, CC, 0.85f, st->preemph_memD);
   st->loss_duration = 0;

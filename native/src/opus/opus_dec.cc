@@ -241,18 +241,32 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
                            float* out, int max_samples) {
   OpusDec* d = (OpusDec*)ptr;
   if (data == nullptr || len == 0) {
-    // packet loss: energy-fade concealment — repeat the last decoded
-    // frame with a 6 dB/frame decay (the framework analogue of the
-    // reference's fdk AAC_CONCEAL_METHOD=1 fade-out; libopus-exact PLC
-    // is out of scope for file decode, where packets are never lost)
     int n = d->last_samples > 0 ? d->last_samples : 960;
     if (n > max_samples) return -2;
-    d->plc_gain *= 0.5f;
-    for (int i = 0; i < n * d->channels; ++i)
-      out[i] = d->last_frame[i] * d->plc_gain;
+    if (d->prev_mode == 2) {
+      // CELT-mode loss: pitch-based PLC on the decode history (pitch
+      // search + LPC excitation extrapolation with decay, falling back to
+      // background-noise CNG after 100 ms — libopus celt_decode_lost
+      // semantics, celt_plc.cc). Concealed in CELT frame-size chunks.
+      int done = 0;
+      while (done < n) {
+        int chunk = n - done > 960 ? 960 : n - done;
+        int r = celt_conceal_frame(&d->celt, out + (size_t)done * d->channels,
+                                   chunk);
+        if (r < 0) return r;
+        done += r;
+      }
+    } else {
+      // SILK/hybrid-mode loss: energy-fade concealment — repeat the last
+      // decoded frame with a 6 dB/frame decay (SILK's own LTP-based PLC
+      // is a depth delta documented in PARITY.md; the reference's file
+      // player never invokes loss paths)
+      d->plc_gain *= 0.5f;
+      for (int i = 0; i < n * d->channels; ++i)
+        out[i] = d->last_frame[i] * d->plc_gain;
+    }
     // concealed frames take the same output tail as normal frames
-    // (soft clip + s16 round-trip, IAMF_opus_decoder.c:130-136); the
-    // snapshot is post-quantize so the fade multiplies in-range values
+    // (soft clip + s16 round-trip, IAMF_opus_decoder.c:130-136)
     if (!getenv("IAMF_NO_CLIP")) {
       pcm_soft_clip(out, n, d->channels, d->softclip_mem);
       for (int i = 0; i < n * d->channels; ++i)

@@ -64,6 +64,25 @@ def test_mp4_decode_matches_bitstream(tmp_path):
     assert_bitexact(ours, ref)
 
 
+def test_mp4_sgpd_roll_distance(tmp_path):
+    """The 'roll' sample-group boxes (sbgp + sgpd v1): our demuxer surfaces
+    the signed roll distance, the decode is unaffected (the reference reads
+    the box only under SUPPORT_VERIFIER, mp4demux.c:88,849, and takes roll
+    from the Codec Config OBU — ours cross-checks both sources)."""
+    stream, _ = vectors.build_pcm_51_stream(n_frames=6)
+    mp4 = vectors.build_mp4(stream, roll_distance=-4)
+    from iamf_tpu.mp4.demux import MP4Demuxer
+
+    path = os.path.join(str(tmp_path), "roll.mp4")
+    open(path, "wb").write(mp4)
+    d = MP4Demuxer(path)
+    assert d.iamf_track.roll_distance == -4
+    # decode parity is unchanged by the extra stbl boxes
+    ref = ref_decode_mp4(mp4, tmp_path, "1")
+    ours = ours_decode_mp4(mp4, tmp_path, 1)
+    assert_bitexact(ours, ref)
+
+
 def test_fmp4_decode_matches_bitstream(tmp_path):
     """Fragmented input (moof/traf/tfhd/trun, incl. tfhd base-data-offset):
     decode must be bit-exact vs the reference player AND vs the same

@@ -18,7 +18,8 @@ SRC = [
     os.path.join(ROOT, "native", "src", "opus", f)
     for f in ("test_shim.cc", "celt_rate.cc", "celt_energy.cc",
               "celt_tables.cc", "celt_pvq.cc", "celt_bands.cc",
-              "celt_mdct.cc", "celt_decoder.cc", "opus_dec.cc")
+              "celt_mdct.cc", "celt_decoder.cc", "celt_plc.cc",
+              "opus_dec.cc")
 ]
 
 

@@ -306,12 +306,13 @@ def test_redundancy_blending_through_transitions():
 
 
 def test_packet_loss_concealment():
-    """Lost packet (data=None analogue): the decoder conceals with an
-    energy-fading repeat of the last frame instead of erroring — the
-    framework analogue of fdk's AAC_CONCEAL_METHOD=1 fade."""
+    """Lost packet (data=None analogue) after a SILK-mode frame: the
+    decoder conceals with an energy-fading repeat of the last frame — the
+    framework analogue of fdk's AAC_CONCEAL_METHOD=1 fade. (CELT-mode
+    losses take the pitch-based PLC path instead; test_opus_plc.py.)"""
     ref, ours = _ref(), _ours()
     x = _content(960 * 6)
-    pkts = encode(ref, x, 1, 64000, 1002)
+    pkts = encode(ref, x, 1, 64000, 1000)
     h = ours.iamf_opus_decoder_create(1)
     buf = np.zeros(5760, np.float32)
     outs = []

@@ -161,6 +161,39 @@ def test_vlog_mp4(tmp_path):
         raise AssertionError(f"mp4 vlog differs:\n{d[:4000]}")
 
 
+def test_vlog_mp4_sgpd(tmp_path):
+    """MP4 with 'roll' sample-group boxes: the sgpd box log (the ONLY thing
+    the reference does with sgpd, mp4demux.c:849 under SUPPORT_VERIFIER)
+    must stay byte-identical."""
+    if not os.path.exists(REF_VER):
+        pytest.skip("reference verifier player not built")
+    stream, _ = vectors.build_pcm_stereo_stream(n_frames=3)
+    mp4 = vectors.build_mp4(stream, roll_distance=-4)
+    path = os.path.join(str(tmp_path), "r.mp4")
+    with open(path, "wb") as f:
+        f.write(mp4)
+    golden_log = os.path.join(str(tmp_path), "golden.yaml")
+    subprocess.run(
+        [REF_VER, "-i1", "-o2", "-s0", "-v", golden_log, "r.mp4"],
+        cwd=str(tmp_path), capture_output=True, timeout=120)
+    ours_log = os.path.join(str(tmp_path), "ours.yaml")
+    from iamf_tpu.tools.player import main as player_main
+
+    player_main(["-i", "1", "-o", "0", "-s", "0", "-v", ours_log, path])
+    with open(golden_log) as f:
+        golden = f.read()
+    with open(ours_log) as f:
+        got = f.read()
+    assert golden and "sgpd" in golden.lower(), golden[:500]
+    if got != golden:
+        import difflib
+
+        d = "\n".join(difflib.unified_diff(
+            golden.splitlines(), got.splitlines(),
+            "reference", "ours", lineterm="", n=2))
+        raise AssertionError(f"sgpd vlog differs:\n{d[:4000]}")
+
+
 def test_vlog_mp4_edit_list(tmp_path):
     """MP4 with an elst (media_time skip): edts/elst boxes logged."""
     if not os.path.exists(REF_VER):

@@ -568,12 +568,14 @@ def split_into_units(stream: bytes) -> tuple[bytes, list[bytes]]:
     return bytes(descriptors), units
 
 
-def build_mp4(stream: bytes, frame_size: int = 960, media_time: int = 0) -> bytes:
+def build_mp4(stream: bytes, frame_size: int = 960, media_time: int = 0,
+              roll_distance: int = None) -> bytes:
     from iamf_tpu.tools.mp4builder import mux_iamf_mp4
 
     descriptors, units = split_into_units(stream)
     return mux_iamf_mp4(
-        descriptors, units, frame_size=frame_size, media_time=media_time
+        descriptors, units, frame_size=frame_size, media_time=media_time,
+        roll_distance=roll_distance,
     )
 
 
