@@ -174,9 +174,27 @@ def time_decodes(stream: bytes, sound_system: int, repeats: int,
     return min(times), audio_s
 
 
-def aggregate_decode(stream: bytes, sound_system: int, n_streams: int):
+def aggregate_decode(stream: bytes, sound_system: int, n_streams: int,
+                     result=None):
     """N independent streams decoded concurrently on one chip, PCM left
-    on device — the production serving regime."""
+    on device — the production serving regime. Primary path: the vmapped
+    multi-stream program (serving.MultiStreamServer — one dispatch per
+    frame batch for the whole fleet instead of N, bit-exact per stream
+    vs its own decode, test_serving.py); falls back to N thread-driven
+    decoders if the fleet can't share one program."""
+    try:
+        from iamf_tpu.core.serving import MultiStreamServer
+
+        srv = MultiStreamServer([stream] * n_streams,
+                                sound_system=sound_system, batch_frames=128)
+        srv.decode_all()  # warm: compile (cache-backed) + ramp
+        t0 = time.perf_counter()
+        srv.decode_all()
+        return time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001 — serving regime is optional
+        log(f"vmapped aggregate unavailable ({e}); threaded fallback")
+        if result is not None:
+            result["aggregate_path"] = "threaded"
     import concurrent.futures as cf
     from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
 

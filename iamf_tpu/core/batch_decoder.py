@@ -71,13 +71,10 @@ class _ElemCtx:
 _BATCH_COMB_CHUNK = 13
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
+def _fused_decode_body(cfg, kinds: tuple, carry, params, bufs):
     """Codec synthesis (opus CELT / AAC filterbank) fused with the decode
-    pipeline: ONE device dispatch per batch instead of one per stage (the
-    tunneled dispatch round-trip is ~25 ms, comparable to a whole batch's
-    compute). Module-level jit keyed on the static (cfg, kinds) so fresh
-    decoder instances share the compiled program."""
+    pipeline — the traced body shared by the single-stream jit below and
+    the vmapped multi-stream program (serving.MultiStreamServer)."""
     xs = []
     syn = []
     for i, kind in enumerate(kinds):
@@ -109,6 +106,162 @@ def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
         syn.append(s)
     pipe, pcm = decode_frames(cfg, carry["pipe"], params, xs)
     return {"pipe": pipe, "syn": syn}, pcm
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
+    """ONE device dispatch per batch instead of one per stage (the
+    tunneled dispatch round-trip is ~25 ms, comparable to a whole batch's
+    compute). Module-level jit keyed on the static (cfg, kinds) so fresh
+    decoder instances share the compiled program."""
+    return _fused_decode_body(cfg, kinds, carry, params, bufs)
+
+
+class _HostPlan:
+    """Host-side decode plan for one stream: whole-stream parameter
+    tensors, per-element unpack / prefetched entropy decode, initial
+    carries, and the output call/trim bookkeeping. Shared by
+    BatchedStreamDecoder.decode_all and serving.MultiStreamServer (which
+    runs S plans against one vmapped device program)."""
+
+    def __init__(self, dec: "BatchedStreamDecoder"):
+        import concurrent.futures as _cf
+
+        self.dec = dec
+        B = self.B = dec.batch_frames
+        T = dec.frame_size
+        n = self.n = dec.n_frames
+        self.n_batches = -(-n // B)
+        # whole-stream parameter tensors: ONE bulk h2d put each (+1 batch
+        # of neutral padding so the limiter drain can run past stream end)
+        self.stream_params = put_stream_params(
+            dec.cfg, dec.params, (self.n_batches + 1) * B)
+        if any(es.hrtf_taps for es in dec.cfg.elements):
+            # HRIR spectra at the batch conv length (device-resident,
+            # put once; see pipeline.decode_frames binaural branch)
+            self.stream_params["hrtf_H"] = {
+                i: jnp.asarray(np.fft.rfft(
+                    e.hrtf_bank, n=B * T + e.hrtf_bank.shape[2] - 1,
+                    axis=2).astype(np.complex64))
+                for i, e in enumerate(dec.elems)
+                if e.hrtf_bank is not None
+            }
+
+        # per-element: one vectorized unpack for the whole stream (or, for
+        # opus/aac, per-batch spectrum decode feeding device synthesis)
+        self.elem_packets = []
+        self.elem_all_x = []
+        elem_syn_carry = []
+        for e in dec.elems:
+            packets = [dec.frames_per_substream[sid]
+                       for sid in e.substream_ids]
+            self.elem_packets.append(packets)
+            if e.opus:
+                self.elem_all_x.append(None)
+                elem_syn_carry.append(dec.opus_synth.init_carry(
+                    sum(ch for _, ch in e.codec._decoders)))
+            elif e.aac:
+                self.elem_all_x.append(None)
+                elem_syn_carry.append(dec.aac_synth.init_carry(
+                    sum(ch for _, ch in e.codec._decoders)))
+            elif e.raw_input:
+                self.elem_all_x.append(e.codec.decode_batch_raw(packets, T)[0])
+                elem_syn_carry.append(None)
+            elif hasattr(e.codec, "decode_batch"):
+                self.elem_all_x.append(e.codec.decode_batch(packets, T))
+                elem_syn_carry.append(None)
+            else:
+                self.elem_all_x.append(np.stack(
+                    [e.codec.decode([p[k] for p in packets])
+                     for k in range(n)]))
+                elem_syn_carry.append(None)
+        self.carry = {"pipe": init_carry(dec.cfg), "syn": elem_syn_carry}
+
+        def _kind(e):
+            if e.opus:
+                nf, kf, hyb = e.opus_cfg
+                if (nf, kf, hyb) == (960, 1, False):
+                    return "opus"  # the flagship CELT-960 operating point
+                return f"opus:{nf}:{kf}:{int(hyb)}"
+            return "aac" if e.aac else "raw"
+
+        self.kinds = tuple(_kind(e) for e in dec.elems)
+
+        # Output bookkeeping. With the pre-limiter trim splice
+        # (cfg.head_trim), every call's PCM is delayed one batch and the
+        # first call emits only warmup zeros, so the kept stream starts at
+        # call 1; enough zero-input flush calls are appended to surface the
+        # spliced latency plus the limiter drain (all pure pad: padded
+        # parameter rows are neutral and the limiter just drains).
+        self.want = n * T - dec.lead - dec.tail
+        self.k0 = 1 if dec.cfg.head_trim else 0
+        if dec.cfg.limiter is not None:
+            needed = self.want + dec.cfg.limiter.delay_size
+            if not dec.cfg.head_trim:
+                needed = n * T + dec.cfg.limiter.delay_size  # fallback
+        else:
+            needed = self.want + dec.lead
+        self.total_calls = self.n_batches
+        while (self.total_calls - self.k0) * B * T < needed:
+            self.total_calls += 1
+
+        # host entropy decode (opus/aac) prefetched one batch ahead so it
+        # overlaps the previous batch's device compute and d2h fetches.
+        # ONE worker: the codec's inter-frame state (CELT energy carry, AAC
+        # window history) chains across batches, so they must decode in
+        # submission order, never concurrently
+        self.entropy_pool = _cf.ThreadPoolExecutor(1) if (
+            dec.opus_synth or dec.aac_synth) else None
+        self._pending = self._submit(0) if self.n_batches else None
+        self._bi = 0
+
+    def _host_batch(self, i, e, start, count):
+        if e.opus:
+            return self.dec._opus_entropy(
+                e, self.elem_packets[i], start, count, self.B)
+        if e.aac:
+            return self.dec._aac_entropy(
+                e, self.elem_packets[i], start, count, self.B)
+        xs = self.elem_all_x[i][start:start + count]
+        if count < self.B:
+            xs = np.concatenate(
+                [xs, np.zeros((self.B - count,) + xs.shape[1:], xs.dtype)])
+        return xs, None
+
+    def _submit(self, bi):
+        start = bi * self.B
+        count = min(self.B, self.n - start)
+        futs = []
+        for i, e in enumerate(self.dec.elems):
+            if self.entropy_pool is not None and (e.opus or e.aac):
+                futs.append(self.entropy_pool.submit(
+                    self._host_batch, i, e, start, count))
+            else:
+                futs.append((i, e, start, count))
+        return count, futs
+
+    def next_bufs(self):
+        """Numpy input buffers (padded to B frames) for the next decode
+        call, or None for a trailing flush call (caller reuses zeros)."""
+        bi = self._bi
+        self._bi += 1
+        if bi >= self.n_batches:
+            return None
+        _count, futs = self._pending
+        self._pending = (self._submit(bi + 1)
+                         if bi + 1 < self.n_batches else None)
+        out = []
+        for item in futs:
+            if isinstance(item, tuple):
+                xs_np, _aux = self._host_batch(*item)
+            else:
+                xs_np, _aux = item.result()
+            out.append(xs_np)
+        return out
+
+    def close(self):
+        if self.entropy_pool is not None:
+            self.entropy_pool.shutdown(wait=False)
 
 
 class BatchedStreamDecoder:
@@ -582,88 +735,15 @@ class BatchedStreamDecoder:
         B = self.batch_frames
         T = self.frame_size
         n = self.n_frames
-        n_batches = -(-n // B)
         if self.needs_resample and not fetch:
             raise ValueError(
                 f"stream rate {self.stream_rate} != 48000: the host "
                 f"resample tail needs fetch=True")
-        carry = init_carry(self.cfg)
-        # whole-stream parameter tensors: ONE bulk h2d put each (+1 batch of
-        # neutral padding so the limiter drain can run past the stream end)
-        stream_params = put_stream_params(
-            self.cfg, self.params, (n_batches + 1) * B)
-        if any(es.hrtf_taps for es in self.cfg.elements):
-            # HRIR spectra at the batch conv length (device-resident,
-            # put once; see pipeline.decode_frames binaural branch)
-            stream_params["hrtf_H"] = {
-                i: jnp.asarray(np.fft.rfft(
-                    e.hrtf_bank, n=B * T + e.hrtf_bank.shape[2] - 1,
-                    axis=2).astype(np.complex64))
-                for i, e in enumerate(self.elems)
-                if e.hrtf_bank is not None
-            }
-
-        # per-element: one vectorized unpack for the whole stream (or, for
-        # opus/aac, per-batch spectrum decode feeding the device synthesis)
-        elem_packets = []
-        elem_all_x = []
-        elem_syn_carry = []
-        for e in self.elems:
-            packets = [self.frames_per_substream[sid]
-                       for sid in e.substream_ids]
-            elem_packets.append(packets)
-            if e.opus:
-                elem_all_x.append(None)
-                elem_syn_carry.append(self.opus_synth.init_carry(
-                    sum(ch for _, ch in e.codec._decoders)))
-            elif e.aac:
-                elem_all_x.append(None)
-                elem_syn_carry.append(self.aac_synth.init_carry(
-                    sum(ch for _, ch in e.codec._decoders)))
-            elif e.raw_input:
-                elem_all_x.append(e.codec.decode_batch_raw(packets, T)[0])
-                elem_syn_carry.append(None)
-            elif hasattr(e.codec, "decode_batch"):
-                elem_all_x.append(e.codec.decode_batch(packets, T))
-                elem_syn_carry.append(None)
-            else:
-                elem_all_x.append(np.stack(
-                    [e.codec.decode([p[k] for p in packets])
-                     for k in range(n)]))
-                elem_syn_carry.append(None)
+        plan = _HostPlan(self)
+        n_batches = plan.n_batches
+        stream_params = plan.stream_params
 
         import concurrent.futures as _cf
-
-        # host entropy decode (opus/aac) prefetched one batch ahead so it
-        # overlaps the previous batch's device compute and d2h fetches.
-        # ONE worker: the codec's inter-frame state (CELT energy carry, AAC
-        # window history) chains across batches, so they must decode in
-        # submission order, never concurrently
-        entropy_pool = _cf.ThreadPoolExecutor(1) if (
-            self.opus_synth or self.aac_synth) else None
-
-        def host_batch(i, e, start, count):
-            if e.opus:
-                return self._opus_entropy(e, elem_packets[i], start, count, B)
-            if e.aac:
-                return self._aac_entropy(e, elem_packets[i], start, count, B)
-            xs = elem_all_x[i][start:start + count]
-            if count < B:
-                xs = np.concatenate(
-                    [xs, np.zeros((B - count,) + xs.shape[1:], xs.dtype)])
-            return xs, None
-
-        def submit(bi):
-            start = bi * B
-            count = min(B, n - start)
-            futs = []
-            for i, e in enumerate(self.elems):
-                if entropy_pool is not None and (e.opus or e.aac):
-                    futs.append(entropy_pool.submit(
-                        host_batch, i, e, start, count))
-                else:
-                    futs.append((i, e, start, count))
-            return count, futs
 
         # Fetch policy (measured on the axon tunnel, see TRACE.md): fetch
         # NOTHING until every batch is dispatched. In-loop fetches share
@@ -680,51 +760,17 @@ class BatchedStreamDecoder:
         fetch_pool = _cf.ThreadPoolExecutor(8) if (
             fetch and not self.needs_resample) else None
         device_outs = []
-        def _kind(e):
-            if e.opus:
-                n, kf, hyb = e.opus_cfg
-                if (n, kf, hyb) == (960, 1, False):
-                    return "opus"  # the flagship CELT-960 operating point
-                return f"opus:{n}:{kf}:{int(hyb)}"
-            return "aac" if e.aac else "raw"
-
-        kinds = tuple(_kind(e) for e in self.elems)
-        step_carry = {"pipe": carry, "syn": elem_syn_carry}
-
-        # Output bookkeeping. With the pre-limiter trim splice
-        # (cfg.head_trim), every call's PCM is delayed one batch and the
-        # first call emits only warmup zeros, so the kept stream starts at
-        # call 1; enough zero-input flush calls are appended to surface the
-        # spliced latency plus the limiter drain (all pure pad: padded
-        # parameter rows are neutral and the limiter just drains).
+        kinds = plan.kinds
+        step_carry = plan.carry
         lead = self.lead
-        tail = self.tail
-        want = n * T - lead - tail
-        k0 = 1 if self.cfg.head_trim else 0
-        if self.cfg.limiter is not None:
-            needed = want + self.cfg.limiter.delay_size
-            if not self.cfg.head_trim:
-                needed = n * T + self.cfg.limiter.delay_size  # fallback
-        else:
-            needed = want + lead
-        total_calls = n_batches
-        while (total_calls - k0) * B * T < needed:
-            total_calls += 1
+        want = plan.want
+        k0 = plan.k0
 
         zero_bufs = None
-        pending = submit(0) if n_batches else None
-        for bi in range(total_calls):
-            if bi < n_batches:
-                count, futs = pending
-                pending = submit(bi + 1) if bi + 1 < n_batches else None
-                bufs = []
-                for i, e in enumerate(self.elems):
-                    item = futs[i]
-                    if isinstance(item, tuple):
-                        xs_np, _aux = host_batch(*item)
-                    else:
-                        xs_np, _aux = item.result()
-                    bufs.append(jnp.asarray(xs_np))
+        for bi in range(plan.total_calls):
+            np_bufs = plan.next_bufs()
+            if np_bufs is not None:
+                bufs = [jnp.asarray(b) for b in np_bufs]
                 zero_bufs = [jnp.zeros(b.shape, b.dtype) for b in bufs]
             else:
                 bufs = zero_bufs  # flush: zero input, neutral params
@@ -732,8 +778,7 @@ class BatchedStreamDecoder:
                 self.cfg, kinds, step_carry, stream_params, bufs)
             device_outs.append(pcm)
 
-        if entropy_pool is not None:
-            entropy_pool.shutdown(wait=False)
+        plan.close()
         if not fetch:
             if device_outs:
                 device_outs[-1].block_until_ready()
