@@ -257,13 +257,35 @@ int iamf_opus_decode_float(void* ptr, const unsigned char* data, int len,
         done += r;
       }
     } else {
-      // SILK/hybrid-mode loss: energy-fade concealment — repeat the last
-      // decoded frame with a 6 dB/frame decay (SILK's own LTP-based PLC
-      // is a depth delta documented in PARITY.md; the reference's file
-      // player never invokes loss paths)
-      d->plc_gain *= 0.5f;
-      for (int i = 0; i < n * d->channels; ++i)
-        out[i] = d->last_frame[i] * d->plc_gain;
+      // SILK/hybrid-mode loss: SILK's own LTP-based PLC (LTP
+      // extrapolation + LPC synthesis over randomized excitation,
+      // silk/PLC.c semantics in silk_decoder.cc); hybrid losses add the
+      // CELT layer's concealment (noise CNG above band 17, since the
+      // hybrid celt history starts at band 17) exactly as
+      // opus_decoder.c's data==NULL path runs both layers
+      int16_t sbuf[2 * 2880];
+      int done = d->silk.conceal(d->channels, n / 48, sbuf);
+      if (done == n) {
+        for (int i = 0; i < n * d->channels; ++i)
+          out[i] = sbuf[i] * (1.f / 32768.f);
+        if (d->prev_mode == 1) {
+          float celt_pcm[2 * 960];
+          int doneC = 0;
+          while (doneC < n) {
+            int chunk = n - doneC > 960 ? 960 : n - doneC;
+            if (celt_conceal_frame(&d->celt, celt_pcm, chunk) == chunk) {
+              for (int i = 0; i < chunk * d->channels; ++i)
+                out[(size_t)doneC * d->channels + i] += celt_pcm[i];
+            }
+            doneC += chunk;
+          }
+        }
+      } else {
+        // conceal before any decode: fall back to energy-fade repeat
+        d->plc_gain *= 0.5f;
+        for (int i = 0; i < n * d->channels; ++i)
+          out[i] = d->last_frame[i] * d->plc_gain;
+      }
     }
     // concealed frames take the same output tail as normal frames
     // (soft clip + s16 round-trip, IAMF_opus_decoder.c:130-136)

@@ -47,6 +47,24 @@ struct ResamplerState {
   void process(int16_t* out, const int16_t* in, int inLen);
 };
 
+// Packet-loss-concealment state (libopus silk/structs.h silk_PLC_struct):
+// LTP/LPC parameters of the last good frame + attenuation state.
+struct SilkPlcState {
+  int32_t pitchL_Q8 = 0;
+  int16_t LTPCoef_Q14[LTP_ORDER] = {0};
+  int16_t prevLPC_Q12[MAX_LPC_ORDER] = {0};
+  int last_frame_lost = 0;
+  int32_t rand_seed = 0;
+  int16_t randScale_Q14 = 0;
+  int32_t conc_energy = 0;
+  int conc_energy_shift = 0;
+  int16_t prevLTP_scale_Q14 = 0;
+  int32_t prevGain_Q16[2] = {65536, 65536};
+  int fs_kHz = 0;
+  int nb_subfr = 0;
+  int subfr_length = 0;
+};
+
 struct SilkChannel {
   int fs_kHz = 0;
   int frame_length = 0;   // samples at fs per SILK frame
@@ -75,11 +93,19 @@ struct SilkChannel {
   int16_t outBuf[LTP_MEM_LEN + 2 * MAX_SUBFR_LEN] = {0};
   SideInfoIndices indices;
   ResamplerState resampler;
+  SilkPlcState plc;
+  int lossCnt = 0;
 
   void set_fs(int fs_khz);
   void decode_indices(iamf_opus::EntDec& ec, int frameIndex, int decode_LBRR,
                       int condCoding);
   void decode_frame(iamf_opus::EntDec& ec, int16_t* out, int condCoding);
+  // Conceal one lost frame (LTP extrapolation + LPC synthesis over a
+  // randomized excitation, libopus silk/PLC.c) at the internal rate.
+  void conceal_frame(int16_t* out);
+  // Energy-matching fade-in on the first good frame after a loss run
+  // (silk_PLC_glue_frames); records concealed energy on lost frames.
+  void plc_glue(int16_t* frame, int length);
 };
 
 struct SilkDecoder {
@@ -98,6 +124,9 @@ struct SilkDecoder {
   int decode(iamf_opus::EntDec& ec, int fs_kHz, int nChannelsIntern,
              int nChannelsOut, int frame_ms, int newPacketFlag,
              int16_t* out48);
+  // Conceal one lost packet (frame_ms of audio) using the channels' PLC
+  // state; same output convention as decode(). Returns samples/channel.
+  int conceal(int nChannelsOut, int frame_ms, int16_t* out48);
 };
 
 }  // namespace iamf_silk

@@ -8,6 +8,7 @@
 #include "silk.h"
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 
 #include "silk_tables.h"
@@ -834,6 +835,321 @@ static void decode_parameters(SilkChannel& d, DecoderControl& ctrl,
   }
 }
 
+// ------------------------------------------------ packet loss concealment
+// libopus silk/PLC.c semantics, fixed-point: LTP extrapolation of the last
+// pitch cycle over a randomized excitation, LPC synthesis with
+// bandwidth-expanded previous coefficients, per-frame attenuation; plus
+// the energy-matched fade-in on recovery (silk_PLC_glue_frames). The
+// reference's file player never loses packets (opus_multistream2_decoder.c
+// feeds every packet); this matches the depth of the libopus binary it
+// links.
+
+static constexpr int NB_ATT = 2;
+static const int16_t HARM_ATT_Q15[NB_ATT] = {32440, 31130};  // 0.99 0.95
+static const int16_t PLC_RAND_AT_V_Q15[NB_ATT] = {31130, 26214};  // .95 .8
+static const int16_t PLC_RAND_AT_UV_Q15[NB_ATT] = {32440, 29491};  // .99 .9
+static constexpr int RAND_BUF_SIZE = 128;
+static constexpr int RAND_BUF_MASK = RAND_BUF_SIZE - 1;
+static constexpr int V_PITCH_GAIN_START_MIN_Q14 = 11469;  // 0.7
+static constexpr int V_PITCH_GAIN_START_MAX_Q14 = 15565;  // 0.95
+static constexpr int MAX_PITCH_LAG_MS = 18;
+static constexpr int PITCH_DRIFT_FAC_Q16 = 655;  // 0.01
+
+// silk/sum_sqr_shift.c: energy with a shift keeping 2 headroom bits
+static void sum_sqr_shift(int32_t* energy, int* shift, const int16_t* x,
+                          int len) {
+  int shft = 31 - CLZ32(len);
+  int32_t nrg = len;
+  uint32_t nrg_tmp;
+  int i;
+  for (i = 0; i < len - 1; i += 2) {
+    nrg_tmp = (uint32_t)SMULBB(x[i], x[i]);
+    nrg_tmp = (uint32_t)((int32_t)nrg_tmp + SMULBB(x[i + 1], x[i + 1]));
+    nrg = (int32_t)((uint32_t)nrg + (nrg_tmp >> shft));
+  }
+  if (i < len) {
+    nrg_tmp = (uint32_t)SMULBB(x[i], x[i]);
+    nrg = (int32_t)((uint32_t)nrg + (nrg_tmp >> shft));
+  }
+  shft = silk_max(0, shft + 3 - CLZ32(nrg));
+  nrg = 0;
+  for (i = 0; i < len - 1; i += 2) {
+    nrg_tmp = (uint32_t)SMULBB(x[i], x[i]);
+    nrg_tmp = (uint32_t)((int32_t)nrg_tmp + SMULBB(x[i + 1], x[i + 1]));
+    nrg = (int32_t)((uint32_t)nrg + (nrg_tmp >> shft));
+  }
+  if (i < len) {
+    nrg_tmp = (uint32_t)SMULBB(x[i], x[i]);
+    nrg = (int32_t)((uint32_t)nrg + (nrg_tmp >> shft));
+  }
+  *shift = shft;
+  *energy = nrg;
+}
+
+static inline uint32_t ROR32(uint32_t a, int rot) {
+  if (rot == 0) return a;
+  if (rot < 0) {
+    int m = -rot;
+    return (a << m) | (a >> (32 - m));
+  }
+  return (a << (32 - rot)) | (a >> rot);
+}
+
+// SigProc_FIX.h silk_SQRT_APPROX
+static inline int32_t SQRT_APPROX(int32_t x) {
+  if (x <= 0) return 0;
+  int lz = CLZ32(x);
+  int32_t frac_Q7 = (int32_t)(ROR32((uint32_t)x, 24 - lz) & 0x7f);
+  int32_t y = (lz & 1) ? 32768 : 46214;  // 46214 = sqrt(2)*32768
+  y >>= (lz >> 1);
+  y = SMLAWB(y, y, SMULBB(213, frac_Q7));
+  return y;
+}
+
+static void plc_reset(SilkChannel& d) {
+  d.plc.pitchL_Q8 = (int32_t)d.frame_length << 7;
+  d.plc.prevGain_Q16[0] = 1 << 16;
+  d.plc.prevGain_Q16[1] = 1 << 16;
+  d.plc.subfr_length = 20;
+  d.plc.nb_subfr = 2;
+}
+
+// silk_PLC_update: save the LTP/LPC parameters of the last good frame
+static void plc_update(SilkChannel& d, DecoderControl& ctrl) {
+  SilkPlcState* p = &d.plc;
+  int32_t LTP_Gain_Q14 = 0;
+  if (d.indices.signalType == TYPE_VOICED) {
+    // the last subframe containing a full pitch pulse
+    for (int j = 0; j * d.subfr_length < ctrl.pitchL[d.nb_subfr - 1]; j++) {
+      if (j == d.nb_subfr) break;
+      int32_t temp = 0;
+      for (int i = 0; i < LTP_ORDER; i++)
+        temp += ctrl.LTPCoef_Q14[(d.nb_subfr - 1 - j) * LTP_ORDER + i];
+      if (temp > LTP_Gain_Q14) {
+        LTP_Gain_Q14 = temp;
+        memcpy(p->LTPCoef_Q14,
+               &ctrl.LTPCoef_Q14[(d.nb_subfr - 1 - j) * LTP_ORDER],
+               LTP_ORDER * sizeof(int16_t));
+        p->pitchL_Q8 = ctrl.pitchL[d.nb_subfr - 1 - j] << 8;
+      }
+    }
+    memset(p->LTPCoef_Q14, 0, LTP_ORDER * sizeof(int16_t));
+    p->LTPCoef_Q14[LTP_ORDER / 2] = (int16_t)LTP_Gain_Q14;
+    // limit the LTP gain into [0.7, 0.95] at concealment start
+    if (LTP_Gain_Q14 < V_PITCH_GAIN_START_MIN_Q14) {
+      int32_t tmp = V_PITCH_GAIN_START_MIN_Q14 << 10;
+      int32_t scale_Q10 = tmp / silk_max(LTP_Gain_Q14, 1);
+      for (int i = 0; i < LTP_ORDER; i++)
+        p->LTPCoef_Q14[i] =
+            (int16_t)(SMULBB(p->LTPCoef_Q14[i], scale_Q10) >> 10);
+    } else if (LTP_Gain_Q14 > V_PITCH_GAIN_START_MAX_Q14) {
+      int32_t tmp = V_PITCH_GAIN_START_MAX_Q14 << 14;
+      int32_t scale_Q14 = tmp / silk_max(LTP_Gain_Q14, 1);
+      for (int i = 0; i < LTP_ORDER; i++)
+        p->LTPCoef_Q14[i] =
+            (int16_t)(SMULBB(p->LTPCoef_Q14[i], scale_Q14) >> 14);
+    }
+  } else {
+    p->pitchL_Q8 = SMULBB(d.fs_kHz, 18) << 8;
+    memset(p->LTPCoef_Q14, 0, LTP_ORDER * sizeof(int16_t));
+  }
+  memcpy(p->prevLPC_Q12, ctrl.PredCoef_Q12[1],
+         d.LPC_order * sizeof(int16_t));
+  p->prevLTP_scale_Q14 = (int16_t)ctrl.LTP_scale_Q14;
+  memcpy(p->prevGain_Q16, &ctrl.Gains_Q16[d.nb_subfr - 2],
+         2 * sizeof(int32_t));
+  p->subfr_length = d.subfr_length;
+  p->nb_subfr = d.nb_subfr;
+}
+
+// energies of the last two excitation subframes (scaled by their gains)
+static void plc_energy(int32_t* e1, int* s1, int32_t* e2, int* s2,
+                       const int32_t* exc_Q14, const int32_t* prevGain_Q10,
+                       int subfr_length, int nb_subfr) {
+  int16_t exc_buf[2 * MAX_SUBFR_LEN];
+  int16_t* ptr = exc_buf;
+  for (int k = 0; k < 2; k++) {
+    for (int i = 0; i < subfr_length; i++)
+      ptr[i] = (int16_t)SAT16(
+          SMULWW(exc_Q14[i + (k + nb_subfr - 2) * subfr_length],
+                 prevGain_Q10[k]) >> 8);
+    ptr += subfr_length;
+  }
+  sum_sqr_shift(e1, s1, exc_buf, subfr_length);
+  sum_sqr_shift(e2, s2, &exc_buf[subfr_length], subfr_length);
+}
+
+// silk_PLC_conceal: extrapolate one frame into `frame` (internal rate)
+// and roll the decoder history forward as if it had been decoded
+void SilkChannel::conceal_frame(int16_t* frame) {
+  SilkChannel& d = *this;
+  SilkPlcState* p = &d.plc;
+  if (d.fs_kHz != p->fs_kHz) {
+    plc_reset(d);
+    p->fs_kHz = d.fs_kHz;
+  }
+  int32_t sLTP_Q14[LTP_MEM_LEN + MAX_FRAME_LEN];
+  int16_t sLTP[LTP_MEM_LEN];
+  int16_t A_Q12[MAX_LPC_ORDER];
+
+  int32_t prevGain_Q10[2] = {p->prevGain_Q16[0] >> 6,
+                             p->prevGain_Q16[1] >> 6};
+  if (d.first_frame_after_reset)
+    memset(p->prevLPC_Q12, 0, sizeof(p->prevLPC_Q12));
+  int32_t energy1, energy2;
+  int shift1, shift2;
+  plc_energy(&energy1, &shift1, &energy2, &shift2, d.exc_Q14, prevGain_Q10,
+             d.subfr_length, d.nb_subfr);
+  // source the random excitation from the quieter of the two subframes
+  const int32_t* rand_ptr;
+  if ((energy1 >> shift2) < (energy2 >> shift1)) {
+    rand_ptr = &d.exc_Q14[silk_max(
+        0, (p->nb_subfr - 1) * p->subfr_length - RAND_BUF_SIZE)];
+  } else {
+    rand_ptr = &d.exc_Q14[silk_max(
+        0, p->nb_subfr * p->subfr_length - RAND_BUF_SIZE)];
+  }
+  int16_t* B_Q14 = p->LTPCoef_Q14;
+  int16_t rand_scale_Q14 = p->randScale_Q14;
+
+  int32_t harm_Gain_Q15 = HARM_ATT_Q15[silk_min(NB_ATT - 1, d.lossCnt)];
+  int32_t rand_Gain_Q15 =
+      d.prevSignalType == TYPE_VOICED
+          ? PLC_RAND_AT_V_Q15[silk_min(NB_ATT - 1, d.lossCnt)]
+          : PLC_RAND_AT_UV_Q15[silk_min(NB_ATT - 1, d.lossCnt)];
+
+  bwexpander_16(p->prevLPC_Q12, d.LPC_order, 64881);  // BWE 0.99 in Q16
+  memcpy(A_Q12, p->prevLPC_Q12, d.LPC_order * sizeof(int16_t));
+
+  if (d.lossCnt == 0) {
+    rand_scale_Q14 = 1 << 14;
+    if (d.prevSignalType == TYPE_VOICED) {
+      // voiced: noise level = what the LTP doesn't predict
+      for (int i = 0; i < LTP_ORDER; i++) rand_scale_Q14 -= B_Q14[i];
+      rand_scale_Q14 = (int16_t)silk_max(3277, rand_scale_Q14);  // 0.2
+      rand_scale_Q14 =
+          (int16_t)(SMULBB(rand_scale_Q14, p->prevLTP_scale_Q14) >> 14);
+    } else {
+      // unvoiced: back off the noise for high-LPC-gain frames
+      int32_t invGain_Q30 =
+          lpc_inverse_pred_gain(p->prevLPC_Q12, d.LPC_order);
+      int32_t down_scale_Q30 = silk_min((int32_t)1 << (30 - 3), invGain_Q30);
+      down_scale_Q30 = silk_max((int32_t)1 << (30 - 8), down_scale_Q30);
+      down_scale_Q30 = (int32_t)((uint32_t)down_scale_Q30 << 3);
+      rand_Gain_Q15 = SMULWB(down_scale_Q30, rand_Gain_Q15) >> 14;
+    }
+  }
+
+  int32_t rand_seed = p->rand_seed;
+  int lag = RSHIFT_ROUND(p->pitchL_Q8, 8);
+  int sLTP_buf_idx = d.ltp_mem_length;
+
+  // rewhiten the LTP state with the expanded LPC
+  int idx = d.ltp_mem_length - lag - d.LPC_order - LTP_ORDER / 2;
+  if (idx < 0) idx = 0;  // cannot happen for legal lag per spec
+  lpc_analysis_filter(&sLTP[idx], &d.outBuf[idx], A_Q12,
+                      d.ltp_mem_length - idx, d.LPC_order);
+  int32_t inv_gain_Q30 = INVERSE32_varQ(p->prevGain_Q16[1], 46);
+  inv_gain_Q30 = silk_min(inv_gain_Q30, INT32_MAX >> 1);
+  for (int i = idx + d.LPC_order; i < d.ltp_mem_length; i++)
+    sLTP_Q14[i] = SMULWB(inv_gain_Q30, sLTP[i]);
+
+  // LTP synthesis: periodic extrapolation with decaying gains
+  for (int k = 0; k < d.nb_subfr; k++) {
+    const int32_t* pred_lag_ptr =
+        &sLTP_Q14[sLTP_buf_idx - lag + LTP_ORDER / 2];
+    for (int i = 0; i < d.subfr_length; i++) {
+      int32_t LTP_pred_Q12 = 2;
+      LTP_pred_Q12 = SMLAWB(LTP_pred_Q12, pred_lag_ptr[0], B_Q14[0]);
+      LTP_pred_Q12 = SMLAWB(LTP_pred_Q12, pred_lag_ptr[-1], B_Q14[1]);
+      LTP_pred_Q12 = SMLAWB(LTP_pred_Q12, pred_lag_ptr[-2], B_Q14[2]);
+      LTP_pred_Q12 = SMLAWB(LTP_pred_Q12, pred_lag_ptr[-3], B_Q14[3]);
+      LTP_pred_Q12 = SMLAWB(LTP_pred_Q12, pred_lag_ptr[-4], B_Q14[4]);
+      pred_lag_ptr++;
+      rand_seed = silk_RAND(rand_seed);
+      int ridx = (rand_seed >> 25) & RAND_BUF_MASK;
+      sLTP_Q14[sLTP_buf_idx] = (int32_t)(
+          (uint32_t)SMLAWB(LTP_pred_Q12, rand_ptr[ridx], rand_scale_Q14)
+          << 2);
+      sLTP_buf_idx++;
+    }
+    // decay the harmonic and noise parts each subframe
+    for (int j = 0; j < LTP_ORDER; j++)
+      B_Q14[j] = (int16_t)(SMULBB(harm_Gain_Q15, B_Q14[j]) >> 15);
+    rand_scale_Q14 = (int16_t)(SMULBB(rand_scale_Q14, rand_Gain_Q15) >> 15);
+    // drift the pitch 1%/subframe toward longer periods
+    p->pitchL_Q8 = SMLAWB(p->pitchL_Q8, p->pitchL_Q8, PITCH_DRIFT_FAC_Q16);
+    p->pitchL_Q8 = silk_min(p->pitchL_Q8,
+                            SMULBB(MAX_PITCH_LAG_MS, d.fs_kHz) << 8);
+    lag = RSHIFT_ROUND(p->pitchL_Q8, 8);
+  }
+
+  // LPC synthesis over the extrapolated excitation
+  int32_t* sLPC_Q14_ptr = &sLTP_Q14[d.ltp_mem_length - MAX_LPC_ORDER];
+  memcpy(sLPC_Q14_ptr, d.sLPC_Q14_buf, MAX_LPC_ORDER * sizeof(int32_t));
+  for (int i = 0; i < d.frame_length; i++) {
+    int32_t LPC_pred_Q10 = d.LPC_order >> 1;
+    for (int j = 0; j < d.LPC_order; j++)
+      LPC_pred_Q10 = SMLAWB(LPC_pred_Q10,
+                            sLPC_Q14_ptr[MAX_LPC_ORDER + i - j - 1],
+                            A_Q12[j]);
+    sLPC_Q14_ptr[MAX_LPC_ORDER + i] = ADD_SAT32(
+        sLPC_Q14_ptr[MAX_LPC_ORDER + i], LSHIFT_SAT32(LPC_pred_Q10, 4));
+    frame[i] = (int16_t)SAT16(RSHIFT_ROUND(
+        SMULWW(sLPC_Q14_ptr[MAX_LPC_ORDER + i], prevGain_Q10[1]), 8));
+  }
+  memcpy(d.sLPC_Q14_buf, &sLPC_Q14_ptr[d.frame_length],
+         MAX_LPC_ORDER * sizeof(int32_t));
+
+  p->rand_seed = rand_seed;
+  p->randScale_Q14 = rand_scale_Q14;
+  d.indices.signalType = d.prevSignalType;
+  d.lagPrev = lag;
+  // roll the output history forward (decode_frame's tail)
+  int mv_len = d.ltp_mem_length - d.frame_length;
+  if (mv_len > 0)
+    memmove(d.outBuf, &d.outBuf[d.frame_length], mv_len * sizeof(int16_t));
+  memcpy(&d.outBuf[mv_len < 0 ? 0 : mv_len], frame,
+         d.frame_length * sizeof(int16_t));
+  d.lossCnt++;
+}
+
+// silk_PLC_glue_frames
+void SilkChannel::plc_glue(int16_t* frame, int length) {
+  SilkPlcState* p = &plc;
+  if (lossCnt) {
+    sum_sqr_shift(&p->conc_energy, &p->conc_energy_shift, frame, length);
+    p->last_frame_lost = 1;
+  } else {
+    if (p->last_frame_lost) {
+      int32_t energy;
+      int energy_shift;
+      sum_sqr_shift(&energy, &energy_shift, frame, length);
+      if (energy_shift > p->conc_energy_shift)
+        p->conc_energy >>= (energy_shift - p->conc_energy_shift);
+      else if (energy_shift < p->conc_energy_shift)
+        energy >>= (p->conc_energy_shift - energy_shift);
+      // fade in the energy difference so the first good frame doesn't jump
+      if (energy > p->conc_energy && !getenv("IAMF_NO_GLUE")) {
+        int LZ = CLZ32(p->conc_energy) - 1;
+        p->conc_energy = (int32_t)((uint32_t)p->conc_energy << LZ);
+        energy >>= silk_max(24 - LZ, 0);
+        int32_t frac_Q24 = p->conc_energy / silk_max(energy, 1);
+        int32_t gain_Q16 = (int32_t)((uint32_t)SQRT_APPROX(frac_Q24) << 4);
+        int32_t slope_Q16 = (((int32_t)1 << 16) - gain_Q16) / length;
+        // 4x steeper slope to avoid missing onsets after DTX
+        slope_Q16 = (int32_t)((uint32_t)slope_Q16 << 2);
+        for (int i = 0; i < length; i++) {
+          frame[i] = (int16_t)SMULWB(gain_Q16, frame[i]);
+          gain_Q16 += slope_Q16;
+          if (gain_Q16 > (int32_t)1 << 16) break;
+        }
+      }
+    }
+    p->last_frame_lost = 0;
+  }
+}
+
 // --------------------------------------------------------------- channel
 void SilkChannel::set_fs(int fs_khz) {
   nb_subfr = nFramesPerPacket == 0 ? MAX_NB_SUBFR : nb_subfr;
@@ -875,6 +1191,14 @@ void SilkChannel::decode_frame(EntDec& ec, int16_t* out, int condCoding) {
           ctrl.LTP_scale_Q14, indices.PERIndex, condCoding);
 #endif
   decode_core(*this, ctrl, out, pulses);
+  // PLC bookkeeping (silk_PLC with lost=0): save this frame's LTP/LPC
+  // parameters so a following lost packet can extrapolate from them
+  if (fs_kHz != plc.fs_kHz) {
+    plc_reset(*this);
+    plc.fs_kHz = fs_kHz;
+  }
+  plc_update(*this, ctrl);
+  lossCnt = 0;
   // update output buffer for LTP rewhitening in next frames
   int mv_len = ltp_mem_length - frame_length;
   if (mv_len > 0)
@@ -1185,6 +1509,12 @@ int SilkDecoder::decode(EntDec& ec, int fs_kHz, int nChannelsIntern,
     ch[n].nFramesDecoded++;
   }
 
+  // PLC glue: energy-matched fade-in on the first good frame after a loss
+  // run (no-op when no packets were lost); on the mid/side domain signal,
+  // before the stereo unmix (dec_API.c call order)
+  for (int n = 0; n < nChannelsIntern; n++)
+    ch[n].plc_glue(&samplesOut1[n][2], frame_length);
+
   if (nChannelsIntern == 2) {
     stereo_ms_to_lr(*this, samplesOut1[0], samplesOut1[1], MS_pred_Q13,
                     fs_kHz, frame_length);
@@ -1219,6 +1549,64 @@ int SilkDecoder::decode(EntDec& ec, int fs_kHz, int nChannelsIntern,
   }
   out_total += out_len;
   }  // for fi
+  return out_total;
+}
+
+int SilkDecoder::conceal(int nChannelsOut, int frame_ms, int16_t* out48) {
+  // silk_Decode with lostFlag=FLAG_PACKET_LOST: conceal per 20 ms (or one
+  // 10 ms) frame, stereo unmix with the PREVIOUS prediction weights (no
+  // side info arrives on loss), then the normal resample/interleave tail.
+  int nFrames = frame_ms <= 20 ? 1 : frame_ms / 20;
+  int frame_length = ch[0].frame_length;
+  int fs_kHz = ch[0].fs_kHz;
+  if (frame_length <= 0 || fs_kHz <= 0) return -1;  // nothing decoded yet
+  int out_total = 0;
+  for (int fi = 0; fi < nFrames; fi++) {
+    int16_t samplesOut1[2][2 + MAX_FRAME_LEN];
+    // the side channel is concealed only when the previous frame actually
+    // carried side coding; a mid-only stream's side stays silent and its
+    // state untouched (dec_API.c has_side on the lost path)
+    int has_side = !prev_decode_only_middle;
+    for (int n = 0; n < nChannelsInternal; n++) {
+      if (n == 0 || has_side) {
+        ch[n].conceal_frame(&samplesOut1[n][2]);
+        ch[n].plc_glue(&samplesOut1[n][2], frame_length);
+      } else {
+        memset(&samplesOut1[n][2], 0, frame_length * sizeof(int16_t));
+      }
+    }
+    int32_t MS_pred_Q13[2] = {stereo_pred_prev_Q13[0],
+                              stereo_pred_prev_Q13[1]};
+    if (nChannelsInternal == 2) {
+      stereo_ms_to_lr(*this, samplesOut1[0], samplesOut1[1], MS_pred_Q13,
+                      fs_kHz, frame_length);
+    } else {
+      memcpy(samplesOut1[0], sMid, 2 * sizeof(int16_t));
+      memcpy(sMid, &samplesOut1[0][frame_length], 2 * sizeof(int16_t));
+    }
+    int out_len = frame_length * 48 / fs_kHz;
+    int16_t resamp_out[2][MAX_FRAME_LEN * 6];
+    int nOut =
+        nChannelsInternal < nChannelsOut ? nChannelsInternal : nChannelsOut;
+    for (int n = 0; n < nOut; n++)
+      ch[n].resampler.process(resamp_out[n], &samplesOut1[n][1],
+                              frame_length);
+    int16_t* dst = out48 + out_total * nChannelsOut;
+    if (nChannelsOut == 2 && nChannelsInternal == 1) {
+      for (int i = 0; i < out_len; i++) {
+        dst[2 * i] = resamp_out[0][i];
+        dst[2 * i + 1] = resamp_out[0][i];
+      }
+    } else if (nChannelsOut == 2) {
+      for (int i = 0; i < out_len; i++) {
+        dst[2 * i] = resamp_out[0][i];
+        dst[2 * i + 1] = resamp_out[1][i];
+      }
+    } else {
+      memcpy(dst, resamp_out[0], out_len * sizeof(int16_t));
+    }
+    out_total += out_len;
+  }
   return out_total;
 }
 

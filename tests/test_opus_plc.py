@@ -53,28 +53,30 @@ def pitched(n, channels, f0=220.0, seed=3):
     return (x * env[:, None] * 0.5).astype(np.float32)
 
 
-def encode(ref, pcm, channels, bitrate=96000):
+def encode(ref, pcm, channels, bitrate=96000, mode=1002, maxbw=None,
+           frame=960):
     err = ctypes.c_int(0)
     enc = ref.opus_encoder_create(48000, channels, 2049, ctypes.byref(err))
     assert enc and not err.value
     ref.opus_encoder_ctl(ctypes.c_void_p(enc), 4002, ctypes.c_int(bitrate))
-    ref.opus_encoder_ctl(ctypes.c_void_p(enc), 11002,
-                         ctypes.c_int(1002))  # force CELT
+    ref.opus_encoder_ctl(ctypes.c_void_p(enc), 11002, ctypes.c_int(mode))
+    if maxbw is not None:
+        ref.opus_encoder_ctl(ctypes.c_void_p(enc), 4004, ctypes.c_int(maxbw))
     out = ctypes.create_string_buffer(4000)
     pkts = []
-    for i in range(len(pcm) // 960):
-        chunk = np.ascontiguousarray(pcm[i * 960:(i + 1) * 960])
+    for i in range(len(pcm) // frame):
+        chunk = np.ascontiguousarray(pcm[i * frame:(i + 1) * frame])
         r = ref.opus_encode_float(
             ctypes.c_void_p(enc),
             chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            960, out, 4000)
+            frame, out, 4000)
         assert r > 0
         pkts.append(bytes(out.raw[:r]))
     ref.opus_encoder_destroy(ctypes.c_void_p(enc))
     return pkts
 
 
-def dec_ref(ref, pkts, channels, lost=()):
+def dec_ref(ref, pkts, channels, lost=(), frame=960):
     err = ctypes.c_int(0)
     h = ref.opus_decoder_create(48000, channels, ctypes.byref(err))
     buf = np.zeros(5760 * channels, np.int16)
@@ -83,7 +85,7 @@ def dec_ref(ref, pkts, channels, lost=()):
         if i in lost:
             r = ref.opus_decode(
                 ctypes.c_void_p(h), None, 0,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), 960, 0)
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), frame, 0)
         else:
             r = ref.opus_decode(
                 ctypes.c_void_p(h), p, len(p),
@@ -174,6 +176,103 @@ def test_long_loss_noise_cng(env):
             f"recovery frame {i}: {snr(clean[s], ol[s]):.1f} vs "
             f"{snr(clean[s], rl[s]):.1f} dB")
     assert snr(clean[37 * 960:38 * 960], ol[37 * 960:38 * 960]) > 20
+
+
+# ---- SILK-mode PLC (silk/PLC.c semantics in silk_decoder.cc) -----------
+
+
+def speechish(n, channels, seed=7):
+    """Voiced speech-like content: f0 sweep + harmonics + breath noise."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 48000.0
+    f0 = 130 * (1 + 0.05 * np.sin(2 * np.pi * 3 * t))
+    x = np.zeros((n, channels), np.float32)
+    for c in range(channels):
+        ph = np.cumsum(2 * np.pi * f0 / 48000.0)
+        for h in range(1, 10):
+            x[:, c] += (0.3 / h) * np.sin(h * ph + rng.uniform(0, 6))
+        x[:, c] += 0.02 * rng.randn(n)
+    env_ = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 2.1 * t))
+    return (x * env_[:, None] * 0.4).astype(np.float32)
+
+
+@pytest.mark.parametrize("lost", [(12,), (20, 21), (5, 6, 7)])
+def test_silk_plc_concealed_frames_bitexact_mono(env, lost):
+    """Mono WB SILK losses: every concealed frame is BIT-EXACT vs libopus's
+    own LTP-based PLC (LTP extrapolation + LPC synthesis over randomized
+    excitation — the whole chain is fixed-point)."""
+    ours, ref = env
+    pcm = speechish(960 * 30, 1)
+    pkts = encode(ref, pcm, 1, bitrate=64000, mode=1000, maxbw=1103)
+    assert pkts[0][0] >> 3 < 12, "not a SILK-mode TOC"
+    rl = dec_ref(ref, pkts, 1, set(lost))
+    ol = dec_ours(ours, pkts, 1, set(lost))
+    for i in lost:
+        s = slice(i * 960, (i + 1) * 960)
+        np.testing.assert_array_equal(rl[s], ol[s])
+
+
+@pytest.mark.parametrize("frame", [480, 1920])
+def test_silk_plc_bitexact_other_frame_sizes(env, frame):
+    """10 ms and 40 ms SILK packets conceal bit-exactly too (one internal
+    10 ms frame / per-20 ms conceal loop)."""
+    ours, ref = env
+    pcm = speechish(frame * 20, 1)
+    pkts = encode(ref, pcm, 1, bitrate=64000, mode=1000, maxbw=1103,
+                  frame=frame)
+    rl = dec_ref(ref, pkts, 1, {8}, frame=frame)
+    ol = dec_ours(ours, pkts, 1, {8})
+    s = slice(8 * frame, 9 * frame)
+    np.testing.assert_array_equal(rl[s], ol[s])
+
+
+def test_silk_plc_recovery_converges(env):
+    """After the loss, decode re-converges to libopus's lossy decode
+    monotonically (measured ~19 dB on the first recovery frame, +5 dB per
+    frame, >50 dB within 10)."""
+    ours, ref = env
+    pcm = speechish(960 * 30, 1)
+    pkts = encode(ref, pcm, 1, bitrate=64000, mode=1000, maxbw=1103)
+    rl = dec_ref(ref, pkts, 1, {12})
+    ol = dec_ours(ours, pkts, 1, {12})
+    snrs = [snr(rl[i * 960:(i + 1) * 960], ol[i * 960:(i + 1) * 960])
+            for i in range(13, 23)]
+    assert snrs[0] > 10, snrs
+    assert snrs[4] > 25, snrs
+    assert snrs[-1] > 40, snrs
+
+
+def test_silk_plc_stereo(env):
+    """Stereo SILK losses: concealed frames bit-exact while the side
+    channel is actively coded; mid-only regions stay >25 dB of libopus
+    (side-conceal gating differences express below that)."""
+    ours, ref = env
+    pcm = speechish(960 * 30, 2)
+    pkts = encode(ref, pcm, 2, bitrate=128000, mode=1000, maxbw=1103)
+    rl = dec_ref(ref, pkts, 2, {5, 6})
+    ol = dec_ours(ours, pkts, 2, {5, 6})
+    for i in (5, 6):
+        s = slice(i * 960, (i + 1) * 960)
+        np.testing.assert_array_equal(rl[s], ol[s])
+    rl = dec_ref(ref, pkts, 2, {12})
+    ol = dec_ours(ours, pkts, 2, {12})
+    s = slice(12 * 960, 13 * 960)
+    assert snr(rl[s], ol[s]) > 25
+
+
+def test_hybrid_plc(env):
+    """Hybrid losses run SILK PLC + the CELT layer's CNG (band 17+), the
+    same two-layer concealment opus_decoder.c's data==NULL path performs."""
+    ours, ref = env
+    pcm = speechish(960 * 30, 1)
+    pkts = encode(ref, pcm, 1, bitrate=64000, mode=1001)
+    assert 12 <= pkts[0][0] >> 3 < 16, "not a hybrid TOC"
+    rl = dec_ref(ref, pkts, 1, {12, 13})
+    ol = dec_ours(ours, pkts, 1, {12, 13})
+    assert np.isfinite(ol).all()
+    for i in (12, 13):
+        s = slice(i * 960, (i + 1) * 960)
+        assert snr(rl[s], ol[s]) > 20, snr(rl[s], ol[s])
 
 
 def test_plc_on_unpitched_noise(env):

@@ -307,12 +307,12 @@ def test_redundancy_blending_through_transitions():
 
 def test_packet_loss_concealment():
     """Lost packet (data=None analogue) after a SILK-mode frame: the
-    decoder conceals with an energy-fading repeat of the last frame — the
-    framework analogue of fdk's AAC_CONCEAL_METHOD=1 fade. (CELT-mode
-    losses take the pitch-based PLC path instead; test_opus_plc.py.)"""
+    decoder runs SILK's LTP-based PLC and matches libopus's own
+    concealment BIT-EXACTLY (silk/PLC.c semantics; the full loss matrix —
+    frame sizes, stereo, recovery, hybrid — is in test_opus_plc.py)."""
     ref, ours = _ref(), _ours()
     x = _content(960 * 6)
-    pkts = encode(ref, x, 1, 64000, 1000)
+    pkts = encode(ref, x, 1, 64000, 1000, maxbw=1103)
     h = ours.iamf_opus_decoder_create(1)
     buf = np.zeros(5760, np.float32)
     outs = []
@@ -328,8 +328,23 @@ def test_packet_loss_concealment():
         assert r > 0
         outs.append(buf[:r].copy())
     ours.iamf_opus_decoder_destroy(h)
-    concealed = outs[3]
-    prev = outs[2]
-    # concealment = last frame at half amplitude, not silence/garbage
-    assert np.abs(concealed).max() > 0
-    assert np.allclose(concealed, prev * 0.5, atol=1e-4)
+    # libopus PLC on the same loss
+    lossy = list(pkts)
+    lossy[3] = None
+    err = ctypes.c_int(0)
+    hr = ref.opus_decoder_create(48000, 1, ctypes.byref(err))
+    rbuf = np.zeros(5760, np.int16)
+    ref_outs = []
+    for p in lossy:
+        if p is None:
+            r = ref.opus_decode(
+                ctypes.c_void_p(hr), None, 0,
+                rbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), 960, 0)
+        else:
+            r = ref.opus_decode(
+                ctypes.c_void_p(hr), p, len(p),
+                rbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), 5760, 0)
+        assert r > 0
+        ref_outs.append(rbuf[:r].astype(np.float32) / 32768.0)
+    assert np.abs(outs[3]).max() > 0
+    np.testing.assert_array_equal(outs[3], ref_outs[3])

@@ -60,6 +60,24 @@ def test_multistream_scalable_demix():
             np.testing.assert_array_equal(np.asarray(a), b)
 
 
+def test_multistream_binaural_hrtf():
+    """Binaural HRTF-conv output config: the per-element HRIR spectra
+    (complex64 device tensors) stack on the stream axis like every other
+    parameter leaf."""
+    streams = [
+        vectors.build_pcm_layout_stream(
+            ChannelLayout.L510, n_frames=6, frame_size=960, amp=0.2 + 0.1 * s,
+            seed=s, hrm=1)[0]
+        for s in range(2)
+    ]
+    srv = MultiStreamServer(streams, binaural=True, batch_frames=4)
+    outs = srv.decode_all()
+    for s, stream in enumerate(streams):
+        ref = _per_stream(stream, binaural=True, batch_frames=4)
+        for a, b in zip(outs[s], ref):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+
 def test_multistream_rejects_mismatched_config():
     a = vectors.build_pcm_layout_stream(
         ChannelLayout.L714, n_frames=4, frame_size=960)[0]
