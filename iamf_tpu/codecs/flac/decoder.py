@@ -56,6 +56,16 @@ def _load_native():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    _lib.iamf_flac_decode_batch.restype = ctypes.c_int
+    _lib.iamf_flac_decode_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
     return _lib
 
 
@@ -120,6 +130,35 @@ class FLACDecoder(CodecDecoder):
         self.sample_rate = self.info["sample_rate"]
         self.scale = np.float32(float(1 << (self.bits - 1)))
         _load_native()
+
+    def decode_batch_raw(
+        self, packets_per_substream: Sequence[Sequence[bytes]],
+        frame_size: int,
+    ) -> tuple[np.ndarray, float]:
+        """Vectorized whole-stream decode to INTEGER samples: one GIL-free
+        native call per substream (native/src/flac_frame.cc batch entry),
+        eliminating the per-(frame,substream) ctypes round-trips that made
+        the host path ~40x realtime. Returns ([n, C, T] int32, input_scale)
+        — float conversion runs on the device like the PCM path."""
+        lib = _load_native()
+        n_frames = min(len(p) for p in packets_per_substream)
+        x = np.empty((n_frames, self.channels, frame_size), np.int32)
+        ch = 0
+        for i in range(self.streams):
+            pkts = packets_per_substream[i][:n_frames]
+            want = 2 if i < self.coupled_streams else 1
+            blob = b"".join(pkts)
+            sizes = (ctypes.c_int * n_frames)(*[len(p) for p in pkts])
+            sub = np.empty((n_frames, want, frame_size), np.int32)
+            r = lib.iamf_flac_decode_batch(
+                blob, sizes, n_frames, self.bits, want,
+                sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                frame_size)
+            if r != n_frames:
+                raise ValueError(f"FLAC batch decode failed: {r}")
+            x[:, ch:ch + want] = sub
+            ch += want
+        return x, float(1.0 / self.scale)
 
     def decode(self, packets: Sequence[Optional[bytes]]) -> np.ndarray:
         outs = []

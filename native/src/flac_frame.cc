@@ -262,3 +262,35 @@ extern "C" int iamf_flac_decode_frame(const uint8_t* data, int size,
   *bps_out = bps;
   return blocksize;
 }
+
+// Batched form: decode `n_packets` consecutive frames of ONE substream in
+// a single GIL-free call (packets concatenated in `data`, per-packet byte
+// sizes in `sizes`). out: [n_packets][want_ch][frame_size] int32 planar —
+// mono frames fill only lane 0 of a want_ch=1 row; a mono frame in a
+// coupled (want_ch=2) stream duplicates into lane 1 (the per-frame
+// Python wrapper's row-stack semantics). Returns n_packets, or the
+// negative error of the failing packet.
+extern "C" int iamf_flac_decode_batch(const uint8_t* data, const int* sizes,
+                                      int n_packets, int streaminfo_bps,
+                                      int want_ch, int32_t* out,
+                                      int frame_size) {
+  const uint8_t* p = data;
+  static thread_local int32_t tmp[8 * 65536];
+  for (int k = 0; k < n_packets; ++k) {
+    int nch = 0, bps = 0;
+    int n = iamf_flac_decode_frame(p, sizes[k], streaminfo_bps, tmp, 65536,
+                                   &nch, &bps);
+    if (n <= 0) return n ? n : -1;
+    if (n > frame_size) return -3;
+    int32_t* row = out + (size_t)k * want_ch * frame_size;
+    for (int c = 0; c < want_ch; ++c) {
+      const int32_t* src = tmp + (size_t)(c < nch ? c : nch - 1) * n;
+      memcpy(row + (size_t)c * frame_size, src, n * sizeof(int32_t));
+      if (n < frame_size)
+        memset(row + (size_t)c * frame_size + n, 0,
+               (frame_size - n) * sizeof(int32_t));
+    }
+    p += sizes[k];
+  }
+  return n_packets;
+}

@@ -50,9 +50,10 @@ def test_flac_714_bitexact(tmp_path):
 
 
 def test_flac_batched_path_bitexact(tmp_path):
-    """FLAC content through the BATCHED decoder (VERDICT r2 weak #4): the
-    generic host decode_batch branch must scale/route identically to the
-    serial path — diffed bit-exactly against the reference player."""
+    """FLAC content through the BATCHED decoder: the whole-stream batched
+    native decode (one GIL-free call per substream, int32 shipped and
+    float-converted on device like PCM) must stay bit-exact vs the
+    reference player."""
     from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
 
     stream, _ = vectors.build_flac_layout_stream(ChannelLayout.L510,
@@ -62,7 +63,7 @@ def test_flac_batched_path_bitexact(tmp_path):
         stream, sound_system=1, batch_frames=4).decode_all())
     assert_bitexact(out, ref)
     dec = BatchedStreamDecoder(stream, sound_system=1, batch_frames=4)
-    assert dec.stats["elements"][0]["path"] == "host"
+    assert dec.stats["elements"][0]["path"] == "raw_device"
 
 
 def test_flac_batched_24bit_matches_serial():
