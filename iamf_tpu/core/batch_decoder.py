@@ -137,11 +137,14 @@ class _HostPlan:
         self.stream_params = put_stream_params(
             dec.cfg, dec.params, (self.n_batches + 1) * B)
         if any(es.hrtf_taps for es in dec.cfg.elements):
-            # HRIR spectra at the batch conv length (device-resident,
-            # put once; see pipeline.decode_frames binaural branch)
+            # HRIR spectra at the batch conv length (device-resident, put
+            # once; 5-smooth FFT size — see pipeline.decode_frames)
+            from ..dsp.binaural import fft_conv_len
+
             self.stream_params["hrtf_H"] = {
                 i: jnp.asarray(np.fft.rfft(
-                    e.hrtf_bank, n=B * T + e.hrtf_bank.shape[2] - 1,
+                    e.hrtf_bank,
+                    n=fft_conv_len(B * T + e.hrtf_bank.shape[2] - 1),
                     axis=2).astype(np.complex64))
                 for i, e in enumerate(dec.elems)
                 if e.hrtf_bank is not None

@@ -274,16 +274,22 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
                 lambda inp, i=i: _element_frame(cfg, i, inp)
             )(per_frame_inputs)  # [B, C_i, T]
             if es.hrtf_taps:
+                from ..dsp.binaural import fft_conv_len
+
                 taps = es.hrtf_taps
                 C = r.shape[1]
                 flat = r.transpose(1, 0, 2).reshape(C, B * T)
-                n = B * T + taps - 1
+                # 5-smooth FFT length: a raw B*T+taps-1 has large prime
+                # factors and XLA:TPU would lower it to an O(n^2) DFT
+                # matmul (~60 GB at batch scale); zero-padding keeps the
+                # linear convolution exact
+                n = fft_conv_len(B * T + taps - 1)
                 X = jnp.fft.rfft(flat, n=n, axis=1)  # [C, F]
                 Y = jnp.einsum("ecf,cf->ef", params["hrtf_H"][i], X,
                                precision=jax.lax.Precision.HIGHEST)
                 y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
                 out = y[:, : B * T].at[:, : taps - 1].add(carry["hrtf"][i])
-                new_hrtf[i] = y[:, B * T:]
+                new_hrtf[i] = y[:, B * T: B * T + taps - 1]
                 r = out.reshape(2, B, T).transpose(1, 0, 2)  # [B, 2, T]
             g = per_frame_inputs["elem_gain"][i]
             r = r * g[:, None, :] if es.per_sample_gain else r * g[:, None, None]

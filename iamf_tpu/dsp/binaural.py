@@ -181,21 +181,48 @@ def load_hrir_bank(path: str, layout: ChannelLayout) -> np.ndarray:
     return bank
 
 
+def fft_conv_len(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) length >= n.
+
+    TPU-first constraint: XLA lowers FFTs with large prime factors to a
+    dense DFT matmul — a batch-length conv (128*960+255 = 123135 = 3*5*8209)
+    would materialize an O(n^2) f32 matrix (~60 GB) and fail to compile.
+    Padding the overlap-save FFT keeps the linear convolution exact (the
+    zero-padded tail just extends the discarded region)."""
+    best = 1
+    while best < n:
+        best *= 2
+    m = best  # power of two always works; search smaller smooth sizes
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            k = p35
+            while k < max(n, 1):
+                k *= 2
+            if k >= n and k < m:
+                m = k
+            p35 *= 3
+        p5 *= 5
+    return m
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _fft_conv_block(x, H, overlap, taps: int):
     """Overlap-save frequency-domain convolution of one frame.
 
-    x: [C, T] speakers; H: [2, C, F] rfft of HRIRs (padded to T+taps-1);
-    overlap: [2, taps-1] carry. Returns ([2, T], new overlap).
+    x: [C, T] speakers; H: [2, C, F] rfft of HRIRs (padded to the 5-smooth
+    fft_conv_len(T+taps-1)); overlap: [2, taps-1] carry.
+    Returns ([2, T], new overlap).
     """
     C, T = x.shape
-    n = T + taps - 1
+    n = fft_conv_len(T + taps - 1)
     X = jnp.fft.rfft(x, n=n, axis=1)  # [C, F]
     Y = jnp.einsum("ecf,cf->ef", H, X,
                    precision=jax.lax.Precision.HIGHEST)  # [2, F] on MXU
     y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
     out = y[:, :T].at[:, : taps - 1].add(overlap)
-    new_overlap = y[:, T:]
+    new_overlap = y[:, T:T + taps - 1]
     return out, new_overlap
 
 
@@ -212,7 +239,7 @@ class HRTFRenderer:
         else:
             bank = np.asarray(bank, np.float32)  # measured set
         self.taps = taps = bank.shape[2]
-        n = frame_size + taps - 1
+        n = fft_conv_len(frame_size + taps - 1)
         self.H = jnp.asarray(np.fft.rfft(bank, n=n, axis=2))
         self.overlap = jnp.zeros((2, taps - 1), jnp.float32)
 
