@@ -381,19 +381,7 @@ def main() -> None:
         except Exception as e:
             log(f"scalable mp4 stage failed: {e}")
             result["scalable_mp4_error"] = str(e)[:200]
-    if remaining() > 80:
-        try:  # config 5: binaural (batched HRTF overlap-save conv path).
-            # The reference build has the binauralizer compiled out
-            # (DISABLE_BINAURALIZER=1) and renders -sb via the M2M matrix;
-            # its rate is reported for the same content class.
-            bin_stream = build_stream(cfg_seconds, "binaural")
-            run_config_stage(result, "binaural", bin_stream, 0,
-                             binaural=True,
-                             ref_kw={"sound_system": "b"})
-        except Exception as e:
-            log(f"binaural stage failed: {e}")
-            result["binaural_error"] = str(e)[:200]
-
+    # [bisect: binaural stage removed]
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if "--profile" in sys.argv:
         profile_dir = sys.argv[sys.argv.index("--profile") + 1]

@@ -138,14 +138,24 @@ class _HostPlan:
             dec.cfg, dec.params, (self.n_batches + 1) * B)
         if any(es.hrtf_taps for es in dec.cfg.elements):
             # HRIR spectra at the batch conv length (device-resident, put
-            # once; 5-smooth FFT size — see pipeline.decode_frames)
+            # once; 5-smooth FFT size — see pipeline.decode_frames).
+            # Shipped as a stacked float32 [2(re/im), 2(ear), C, F] pair —
+            # complex64 host<->device transfers are NOT supported through
+            # the tunneled runtime (UNIMPLEMENTED, and the failed put
+            # latches the process's whole transfer path); the complex view
+            # is formed on device inside the jit.
             from ..dsp.binaural import fft_conv_len
 
-            self.stream_params["hrtf_H"] = {
-                i: jnp.asarray(np.fft.rfft(
+            def _spec(e):
+                h = np.fft.rfft(
                     e.hrtf_bank,
                     n=fft_conv_len(B * T + e.hrtf_bank.shape[2] - 1),
-                    axis=2).astype(np.complex64))
+                    axis=2)
+                return jnp.asarray(np.stack(
+                    [h.real, h.imag]).astype(np.float32))
+
+            self.stream_params["hrtf_H"] = {
+                i: _spec(e)
                 for i, e in enumerate(dec.elems)
                 if e.hrtf_bank is not None
             }

@@ -285,7 +285,12 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
                 # linear convolution exact
                 n = fft_conv_len(B * T + taps - 1)
                 X = jnp.fft.rfft(flat, n=n, axis=1)  # [C, F]
-                Y = jnp.einsum("ecf,cf->ef", params["hrtf_H"][i], X,
+                # hrtf_H ships as stacked float32 re/im (complex64 h2d is
+                # unsupported through the tunneled runtime); complex view
+                # is formed here on device
+                Hri = params["hrtf_H"][i]
+                H = jax.lax.complex(Hri[0], Hri[1])
+                Y = jnp.einsum("ecf,cf->ef", H, X,
                                precision=jax.lax.Precision.HIGHEST)
                 y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
                 out = y[:, : B * T].at[:, : taps - 1].add(carry["hrtf"][i])

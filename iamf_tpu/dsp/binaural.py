@@ -208,16 +208,19 @@ def fft_conv_len(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def _fft_conv_block(x, H, overlap, taps: int):
+def _fft_conv_block(x, Hri, overlap, taps: int):
     """Overlap-save frequency-domain convolution of one frame.
 
-    x: [C, T] speakers; H: [2, C, F] rfft of HRIRs (padded to the 5-smooth
-    fft_conv_len(T+taps-1)); overlap: [2, taps-1] carry.
+    x: [C, T] speakers; Hri: [2(re/im), 2(ear), C, F] stacked-float rfft of
+    the HRIRs padded to the 5-smooth fft_conv_len(T+taps-1) — complex64
+    host<->device transfers are unsupported through the tunneled runtime,
+    so the complex view forms on device; overlap: [2, taps-1] carry.
     Returns ([2, T], new overlap).
     """
     C, T = x.shape
     n = fft_conv_len(T + taps - 1)
     X = jnp.fft.rfft(x, n=n, axis=1)  # [C, F]
+    H = jax.lax.complex(Hri[0], Hri[1])
     Y = jnp.einsum("ecf,cf->ef", H, X,
                    precision=jax.lax.Precision.HIGHEST)  # [2, F] on MXU
     y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
@@ -240,7 +243,8 @@ class HRTFRenderer:
             bank = np.asarray(bank, np.float32)  # measured set
         self.taps = taps = bank.shape[2]
         n = fft_conv_len(frame_size + taps - 1)
-        self.H = jnp.asarray(np.fft.rfft(bank, n=n, axis=2))
+        h = np.fft.rfft(bank, n=n, axis=2)
+        self.H = jnp.asarray(np.stack([h.real, h.imag]).astype(np.float32))
         self.overlap = jnp.zeros((2, taps - 1), jnp.float32)
 
     def render(self, x) -> np.ndarray:
