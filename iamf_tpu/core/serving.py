@@ -84,8 +84,11 @@ class MultiStreamServer:
         for _ in range(p0.total_calls):
             per_stream = [p.next_bufs() for p in plans]
             if per_stream[0] is not None:
+                # per-stream h2d puts + a device-side stack: a host
+                # np.stack would copy the whole fleet's input again
+                # (~12 MB/batch) before the put
                 bufs = [
-                    jnp.asarray(np.stack([nb[i] for nb in per_stream]))
+                    jnp.stack([jnp.asarray(nb[i]) for nb in per_stream])
                     for i in range(len(self.decs[0].elems))
                 ]
                 zero_bufs = [jnp.zeros(b.shape, b.dtype) for b in bufs]
