@@ -78,6 +78,22 @@ def test_multistream_binaural_hrtf():
             np.testing.assert_array_equal(np.asarray(a), b)
 
 
+def test_multistream_aac():
+    """AAC content (host entropy + device filterbank) through the vmapped
+    fleet."""
+    try:
+        streams = [vectors.build_aac_layout_stream(
+            ChannelLayout.STEREO, n_frames=6)[0] for _ in range(2)]
+    except Exception as e:
+        pytest.skip(f"aac encoder unavailable: {e}")
+    srv = MultiStreamServer(streams, sound_system=0, batch_frames=4)
+    outs = srv.decode_all()
+    for s, stream in enumerate(streams):
+        ref = _per_stream(stream, sound_system=0, batch_frames=4)
+        for a, b in zip(outs[s], ref):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+
 def test_multistream_rejects_mismatched_config():
     a = vectors.build_pcm_layout_stream(
         ChannelLayout.L714, n_frames=4, frame_size=960)[0]
