@@ -187,6 +187,12 @@ def aggregate_decode(stream: bytes, sound_system: int, n_streams: int,
 
         srv = MultiStreamServer([stream] * n_streams,
                                 sound_system=sound_system, batch_frames=128)
+        if any(e.opus or e.aac for e in srv.decs[0].elems):
+            # entropy-bound fleets (opus/aac host range decode) gain
+            # nothing from the one-dispatch program — the lockstep batch
+            # just waits on the slowest stream's entropy; independent
+            # thread-driven decoders pipeline better on the 2-core host
+            raise ValueError("entropy-bound content: threaded aggregate")
         srv.decode_all()  # warm: compile (cache-backed) + ramp
         t0 = time.perf_counter()
         srv.decode_all()
