@@ -364,8 +364,11 @@ def main() -> None:
     # realtime-x + reference ratio each, short content, deadline-gated ----
     cfg_seconds = min(seconds, 10)
     if remaining() > 120:
-        try:  # config 2: FLAC lossless 5.1 -> sound system B
-            flac_stream = build_stream(cfg_seconds, "flac")
+        try:  # config 2: FLAC lossless 5.1 -> sound system B. Full-length
+            # content: the native batch decode is ~3 ms/audio-second, so
+            # longer streams amortize the per-batch dispatch RTTs that
+            # dominate a 10 s run
+            flac_stream = build_stream(seconds, "flac")
             run_config_stage(result, "flac", flac_stream, 1,
                              ref_kw={"sound_system": 1})
         except Exception as e:
@@ -461,6 +464,15 @@ def main() -> None:
             result["d2h_warmup_seconds"] = round(warm, 1)
             log(f"d2h warm-up took {warm:.1f}s; "
                 f"{remaining():.0f}s budget left")
+            # measure THIS window's d2h ceiling (a 4 MB whole-buffer
+            # fetch) so a tunnel-degraded e2e number is identifiable in
+            # the JSON: e2e is d2h-bound whenever value/audio_seconds ~=
+            # d2h_probe_mbps / (output MB per audio second)
+            t0 = time.perf_counter()
+            np.asarray(jnp.zeros((2 << 20,), jnp.int16) + 2)
+            probe = 4.0 / (time.perf_counter() - t0)
+            result["d2h_probe_mbps"] = round(probe, 1)
+            log(f"d2h probe: {probe:.1f} MB/s")
             if remaining() > 40:
                 e2e_s, _ = time_decodes(pcm_stream, sound_system,
                                         2 if remaining() > 60 else 1,
@@ -470,6 +482,10 @@ def main() -> None:
                 result["wall_seconds"] = round(e2e_s, 3)
                 result["frames_per_s"] = round(
                     (audio_s * 48000 / 960) / e2e_s, 1)
+                # 12ch s16 output: e2e is d2h-bound when this ~equals the
+                # window's d2h ceiling (d2h_probe_mbps)
+                result["e2e_effective_d2h_mbps"] = round(
+                    audio_s * 48000 * 12 * 2 / 1e6 / e2e_s, 1)
                 log(f"pcm: e2e {result['value']}x")
             if opus_stream is not None and remaining() > 45:
                 e2e_s, opus_audio_s = time_decodes(
