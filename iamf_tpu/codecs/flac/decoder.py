@@ -140,13 +140,21 @@ class FLACDecoder(CodecDecoder):
         eliminating the per-(frame,substream) ctypes round-trips that made
         the host path ~40x realtime. Returns ([n, C, T] int32, input_scale)
         — float conversion runs on the device like the PCM path."""
+        import concurrent.futures as cf
+
         lib = _load_native()
         n_frames = min(len(p) for p in packets_per_substream)
         x = np.empty((n_frames, self.channels, frame_size), np.int32)
+        starts = []
         ch = 0
         for i in range(self.streams):
-            pkts = packets_per_substream[i][:n_frames]
             want = 2 if i < self.coupled_streams else 1
+            starts.append((ch, want))
+            ch += want
+
+        def _decode_sub(i):
+            ch0, want = starts[i]
+            pkts = packets_per_substream[i][:n_frames]
             blob = b"".join(pkts)
             sizes = (ctypes.c_int * n_frames)(*[len(p) for p in pkts])
             sub = np.empty((n_frames, want, frame_size), np.int32)
@@ -156,8 +164,18 @@ class FLACDecoder(CodecDecoder):
                 frame_size)
             if r != n_frames:
                 raise ValueError(f"FLAC batch decode failed: {r}")
-            x[:, ch:ch + want] = sub
-            ch += want
+            x[:, ch0:ch0 + want] = sub
+            return None
+
+        # substreams are independent FLAC streams (per spec); the native
+        # call releases the GIL, so they decode on parallel host threads
+        workers = min(self.streams, os.cpu_count() or 1)
+        if workers > 1:
+            with cf.ThreadPoolExecutor(workers) as ex:
+                list(ex.map(_decode_sub, range(self.streams)))
+        else:
+            for i in range(self.streams):
+                _decode_sub(i)
         return x, float(1.0 / self.scale)
 
     def decode(self, packets: Sequence[Optional[bytes]]) -> np.ndarray:

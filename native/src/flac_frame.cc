@@ -29,10 +29,25 @@ struct BitReader {
 
   bool ok() const { return pos <= size * 8; }
 
+  uint64_t load64be(size_t byte) const {
+    uint64_t w;
+    memcpy(&w, data + byte, 8);
+    return __builtin_bswap64(w);
+  }
+
   uint32_t u(int nbits) {
+    // fast path: one 64-bit big-endian load covers any <=32-bit read
+    // whenever 8 bytes are in range (64 - 7 skipped bits >= 32)
+    size_t byte = pos >> 3;
+    if (nbits && byte + 8 <= size) {
+      uint32_t v =
+          (uint32_t)((load64be(byte) << (pos & 7)) >> (64 - nbits));
+      pos += nbits;
+      return v;
+    }
     uint32_t v = 0;
     for (int i = 0; i < nbits; ++i) {
-      size_t byte = pos >> 3;
+      byte = pos >> 3;
       if (byte >= size) { pos += nbits - i; return v << (nbits - i); }
       int shift = 7 - (pos & 7);
       v = (v << 1) | ((data[byte] >> shift) & 1);
@@ -58,6 +73,19 @@ struct BitReader {
 
   uint32_t unary() {
     uint32_t q = 0;
+    // fast path: count leading zeros on 64-bit windows
+    while ((pos >> 3) + 8 <= size) {
+      uint64_t w = load64be(pos >> 3) << (pos & 7);
+      if (w == 0) {
+        int avail = 64 - (int)(pos & 7);
+        q += avail;
+        pos += avail;
+        continue;
+      }
+      int lz = __builtin_clzll(w);
+      pos += lz + 1;
+      return q + lz;
+    }
     while (pos < size * 8) {
       size_t byte = pos >> 3;
       int shift = 7 - (pos & 7);
