@@ -258,3 +258,41 @@ def test_batched_binaural_two_elements_m2b_h2b():
         stream, binaural=True, batch_frames=3).decode_all())
     assert out.shape == serial.shape
     assert_close(out, serial, max_lsb=1, frac=0)
+
+
+def test_fft_conv_len_properties():
+    """5-smooth FFT padding: >= n, 2^a*3^b*5^c only, and tight (within 12%
+    for conv-scale sizes) — a large prime factor would make XLA:TPU lower
+    the FFT to an O(n^2) DFT matmul (see dsp/binaural.py)."""
+    from iamf_tpu.dsp.binaural import fft_conv_len
+
+    for n in [1, 2, 7, 97, 960, 1215, 4097, 60013, 122880, 123135, 999999]:
+        m = fft_conv_len(n)
+        assert m >= n
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        assert k == 1, (n, m)
+        if n >= 1000:
+            assert m <= n * 1.12, (n, m)
+
+
+def test_no_complex_device_params():
+    """The tunneled device runtime cannot transfer complex64 (and a failed
+    put latches the process's whole transfer path): every stream-param
+    leaf the batched decoder puts must be real-valued — HRIR spectra ship
+    as stacked float32 re/im."""
+    import jax
+    import numpy as np
+    import vectors
+    from iamf_tpu.constants import ChannelLayout
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder, _HostPlan
+
+    stream = vectors.build_pcm_layout_stream(
+        ChannelLayout.L510, n_frames=4, frame_size=960, amp=0.3, hrm=1)[0]
+    dec = BatchedStreamDecoder(stream, binaural=True, batch_frames=4)
+    plan = _HostPlan(dec)
+    for leaf in jax.tree.leaves(plan.stream_params):
+        assert not np.iscomplexobj(leaf), leaf.dtype
+    plan.close()
