@@ -225,7 +225,7 @@ def run_codec_stage(result, name, stream, sound_system, n_streams):
         stream, sound_system, 3 if remaining() > 120 else 1, False, 60)
     result[f"{name}_device_only_realtime_x"] = round(a_s / dev_s, 2)
     if n_streams > 1 and remaining() > 90:
-        agg_s = aggregate_decode(stream, sound_system, n_streams)
+        agg_s = aggregate_decode(stream, sound_system, n_streams, result)
         result[f"{name}_aggregate_device_realtime_x"] = round(
             n_streams * a_s / agg_s, 2)
     log(f"{name}: device-only "
@@ -334,7 +334,7 @@ def main() -> None:
 
     if n_streams > 1 and remaining() > 60:
         log(f"pcm: aggregate {n_streams}-stream decode")
-        agg_s = aggregate_decode(pcm_stream, sound_system, n_streams)
+        agg_s = aggregate_decode(pcm_stream, sound_system, n_streams, result)
         result["aggregate_streams"] = n_streams
         result["aggregate_device_realtime_x"] = round(
             n_streams * audio_s / agg_s, 2)
@@ -441,6 +441,7 @@ def main() -> None:
                 # (observed transient — the next attempt succeeds); retry
                 # with fresh arrays (a repeated fetch would hit the jax
                 # host-copy cache) rather than surrendering the e2e stage
+                prev_err = None
                 for attempt in range(8):
                     try:
                         t0 = time.perf_counter()
@@ -448,7 +449,17 @@ def main() -> None:
                         box["s"] = time.perf_counter() - t0
                         return
                     except Exception as e:  # noqa: BLE001
-                        box["err"] = f"{type(e).__name__}: {e}"[:160]
+                        err = f"{type(e).__name__}: {e}"[:160]
+                        box["err"] = err
+                        # two consecutive IDENTICAL failures mean the
+                        # transfer path is latched (a failed put poisons
+                        # every later d2h — see CLAUDE.md), not transient:
+                        # bail instead of burning ~64 s of the deadline
+                        if err == prev_err:
+                            log("d2h warm-up failed twice identically; "
+                                "transfer path latched — giving up")
+                            return
+                        prev_err = err
                         log(f"d2h warm-up attempt {attempt} failed; retrying")
                         time.sleep(8)
 

@@ -11,8 +11,10 @@ device. Channel-based elements demix/downmix as in the per-frame path;
 scene-based (ambisonics) elements fold the mono-remap / projection
 conversion into the H2M render matrix (one [out, lanes] matmul). Opus
 elements run the host-entropy + device-synthesis split
-(codecs/opus/tpu_synth.py). The per-frame api.IAMFDecoder remains the fully
-general path (reconfigure, resampling, binaural, seek).
+(codecs/opus/tpu_synth.py). The batched path also covers resampling,
+binaural rendering, and mp4 seek (from_mp4 start_sec); the per-frame
+api.IAMFDecoder remains the fully general path (and the oracle the batched
+suites diff against).
 """
 
 from __future__ import annotations

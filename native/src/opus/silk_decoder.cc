@@ -1130,7 +1130,7 @@ void SilkChannel::plc_glue(int16_t* frame, int length) {
       else if (energy_shift < p->conc_energy_shift)
         energy >>= (p->conc_energy_shift - energy_shift);
       // fade in the energy difference so the first good frame doesn't jump
-      if (energy > p->conc_energy && !getenv("IAMF_NO_GLUE")) {
+      if (energy > p->conc_energy) {
         int LZ = CLZ32(p->conc_energy) - 1;
         p->conc_energy = (int32_t)((uint32_t)p->conc_energy << LZ);
         energy >>= silk_max(24 - LZ, 0);
