@@ -10,6 +10,7 @@ decode :3303-3525, flush/delay drain :3250-3301).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -351,6 +352,10 @@ class IAMFDecoder:
                     threshold_db=self.threshold_db,
                     sample_rate=self.sampling_rate,
                     channels=self.layout.channels,
+                    # USE_TRUEPEAK compile gate (audio_effect_peak_limiter
+                    # .h:38, default off) exposed as a runtime flag like
+                    # the other reference build options
+                    true_peak=os.environ.get("IAMF_TRUEPEAK") == "1",
                 )
             )
         else:

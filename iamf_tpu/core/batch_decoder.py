@@ -20,6 +20,7 @@ suites diff against).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -503,6 +504,7 @@ class BatchedStreamDecoder:
             ),
             limiter=LimiterConfig(
                 channels=out_ch,
+                true_peak=os.environ.get("IAMF_TRUEPEAK") == "1",
                 **({"threshold_db": peak_threshold_db}
                    if peak_threshold_db is not None else {}),
             ) if device_limiter else None,

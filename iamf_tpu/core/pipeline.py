@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.demix import DemixSpec, demix_frame, make_windows
-from ..dsp.limiter import LimiterConfig, _gain_step, init_state
+from ..dsp.limiter import (LimiterConfig, _gain_step, init_state,
+                           input_peaks as _input_peaks)
 from ..dsp.quantize import quantize_interleave
 
 FACTOR_KEYS = ("alpha", "beta", "gamma", "delta", "dw")
@@ -86,12 +87,17 @@ class PipelineConfig:
     #   loudness). Requires limiter=None and head_trim=0.
 
 
-def _limiter_block(cfg: LimiterConfig, state: dict, x):
+def _limiter_block(cfg: LimiterConfig, state: dict, x, peaks=None):
     """One frame through the limiter (shared with dsp.limiter.process_block
-    but inline-able inside a scan)."""
+    but inline-able inside a scan). `peaks`: precomputed per-sample ring
+    magnitudes (whose computation already advanced any meter history in
+    `state`); None computes them here."""
     D = cfg.delay_size
     T = x.shape[1]
-    peaks_in = jnp.max(jnp.abs(x), axis=0)
+    if peaks is None:
+        peaks_in, state = _input_peaks(cfg, state, x)
+    else:
+        peaks_in = peaks
 
     def step(carry, inp):
         xk, pk = inp
@@ -323,23 +329,30 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
         B, C, T = mixed.shape
         thr = jnp.float32(lim.linear_threshold)
         state = carry["limiter"]
-        batch_peak = jnp.max(jnp.abs(mixed))
+        flat = mixed.transpose(1, 0, 2).reshape(C, B * T)
+        # channel-max magnitudes over the whole batch — sample peaks, or
+        # the 4x-oversampled true-peak meter when lim.true_peak — computed
+        # ONCE for both branches (the meter's FIR history advances here,
+        # branch-independent)
+        peaks_in, state = _input_peaks(lim, state, flat)
+        batch_peak = jnp.max(peaks_in)
 
         def fast(state):
             # whole batch below threshold + idle envelope: one flattened
             # delay-line pass, no per-sample scan at all
             from ..dsp.limiter import fast_pass
 
-            flat = mixed.transpose(1, 0, 2).reshape(C, B * T)
-            peaks_in = jnp.max(jnp.abs(flat), axis=0)
             new_state, y = fast_pass(lim, state, flat, peaks_in)
             return new_state, y.reshape(C, B, T).transpose(1, 0, 2)
 
         def slow(state):
-            def lim_step(s, frame):
-                return _limiter_block(lim, s, frame)
+            pk = peaks_in.reshape(B, T)
 
-            return jax.lax.scan(lim_step, state, mixed)
+            def lim_step(s, inp):
+                frame, p = inp
+                return _limiter_block(lim, s, frame, p)
+
+            return jax.lax.scan(lim_step, state, (mixed, pk))
 
         can_fast = jnp.logical_and(
             state["current_tc"] == -1.0,

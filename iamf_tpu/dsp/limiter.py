@@ -18,11 +18,31 @@ case for normalized content, turning the limiter into a roll + max.
 
 Defaults: threshold -1 dBTP, attack 1 ms, release 200 ms, look-ahead 240
 samples (audio_defines.h:40-43).
+
+True-peak mode (`USE_TRUEPEAK` compile gate, audio_effect_peak_limiter.h:38,
+process_block :150-166): the only difference from the sample-peak mode is
+that the per-channel magnitude fed into the look-ahead peak ring is
+|audio_true_peak_meter_next_true_peak(x_k)| — a 4x-oversampled inter-sample
+peak estimate of the incoming sample stream — instead of |x_k|. The
+reference repo declares the meter (`#include "audio_true_peak_meter.h"`)
+but ships NO implementation of it anywhere in the tree (and hardcodes the
+gate to 0), so the branch is not buildable upstream; this module supplies a
+BS.1770-4-style meter — a 48-tap 4-phase windowed-sinc interpolation FIR,
+per-phase DC-normalized — and the differential oracle
+(tests/test_limiter_truepeak.py) compiles the reference's
+audio_effect_peak_limiter.c verbatim with the gate flipped on and a C meter
+generated from THESE coefficients, pinning the integration semantics.
+
+In this formulation the meter is a causal FIR over the input block, so it
+vectorizes entirely outside the per-sample gain scan: peaks_in[t] =
+max over channels and phases of |sum_i h_phase[i] * x[t-i]| with an
+11-sample cross-block history carry; the scan itself is unchanged.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -34,6 +54,43 @@ LIMITER_ATTACK_SEC = 0.001
 LIMITER_RELEASE_SEC = 0.200
 LIMITER_LOOKAHEAD = 240
 
+TP_PHASES = 4    # 4x oversampling (BS.1770-4 Annex 2 true-peak design)
+TP_TAPS = 12     # taps per phase (48-tap prototype)
+TP_HIST = TP_TAPS - 1
+
+
+@functools.lru_cache(maxsize=None)
+def truepeak_filters() -> np.ndarray:
+    """[TP_PHASES, TP_TAPS] float32 polyphase interpolation filters.
+
+    Prototype: 48-tap Hann-windowed sinc at 1/4 band (the 4x-oversampling
+    interpolator of a BS.1770-4-style true-peak meter). Phase j holds taps
+    h[4i+j] applied to x[n-i]; each phase is normalized to unit DC gain so
+    a full-scale DC input meters exactly full scale. The reference ships no
+    meter source (see module docstring), so these coefficients are the
+    repo's own design — the C differential oracle is generated from this
+    exact table (emit_truepeak_c_table)."""
+    L = TP_PHASES * TP_TAPS
+    n = np.arange(L, dtype=np.float64)
+    c = (L - 1) / 2.0
+    proto = np.sinc((n - c) / TP_PHASES) * np.hanning(L)
+    phases = np.empty((TP_PHASES, TP_TAPS), np.float64)
+    for j in range(TP_PHASES):
+        phases[j] = proto[j::TP_PHASES]
+        phases[j] /= phases[j].sum()
+    return phases.astype(np.float32)
+
+
+def emit_truepeak_c_table() -> str:
+    """C initializer for the phase table — the differential-test oracle
+    compiles its meter from this string, guaranteeing identical constants
+    on both sides of the diff."""
+    h = truepeak_filters()
+    rows = ",\n".join(
+        "  {" + ", ".join(f"{v:.9e}f" for v in row) + "}" for row in h)
+    return ("static const float TP_PHASES_TAB[%d][%d] = {\n%s\n};\n"
+            % (TP_PHASES, TP_TAPS, rows))
+
 
 @dataclasses.dataclass(frozen=True)
 class LimiterConfig:
@@ -43,6 +100,7 @@ class LimiterConfig:
     attack_sec: float = LIMITER_ATTACK_SEC
     release_sec: float = LIMITER_RELEASE_SEC
     delay_size: int = LIMITER_LOOKAHEAD
+    true_peak: bool = False  # USE_TRUEPEAK branch (see module docstring)
 
     @property
     def linear_threshold(self) -> float:
@@ -55,7 +113,7 @@ class LimiterConfig:
 
 def init_state(cfg: LimiterConfig) -> dict:
     """Carry pytree. `init`/`padsize` (first-call swallow) are host-side."""
-    return {
+    state = {
         "current_gain": jnp.float32(1.0),
         "target_start_gain": jnp.float32(-1.0),
         "target_end_gain": jnp.float32(-1.0),
@@ -64,6 +122,31 @@ def init_state(cfg: LimiterConfig) -> dict:
         "peak_data": jnp.zeros((cfg.delay_size,), jnp.float32),
         "entry_index": jnp.int32(0),
     }
+    if cfg.true_peak:
+        # last TP_HIST input samples per channel (oldest first) — the
+        # meter FIR's cross-block memory
+        state["tp_hist"] = jnp.zeros((cfg.channels, TP_HIST), jnp.float32)
+    return state
+
+
+def input_peaks(cfg: LimiterConfig, state: dict, x):
+    """Per-sample channel-max magnitudes feeding the look-ahead peak ring:
+    |x| in sample-peak mode, the 4x polyphase meter in true-peak mode
+    (process_block :150-166). x: [C, T] -> (peaks [T], state')."""
+    if not cfg.true_peak:
+        return jnp.max(jnp.abs(x), axis=0), state
+    T = x.shape[1]
+    h = jnp.asarray(truepeak_filters())
+    xc = jnp.concatenate([state["tp_hist"], x], axis=1)  # [C, TP_HIST+T]
+    # win[c, t, i] = x[c, t - i] (i = tap age), matching the C meter's
+    # acc += h[p][i] * hist[i] with hist[0] = newest
+    win = jnp.stack(
+        [xc[:, TP_HIST - i:TP_HIST - i + T] for i in range(TP_TAPS)],
+        axis=-1)
+    ph = jnp.einsum("cti,pi->cpt", win, h,
+                    preferred_element_type=jnp.float32)
+    peaks = jnp.max(jnp.abs(ph), axis=(0, 1))
+    return peaks, dict(state, tp_hist=xc[:, -TP_HIST:])
 
 
 def _gain_step(cfg: LimiterConfig, state, peak):
@@ -141,7 +224,7 @@ def process_block(cfg: LimiterConfig, state: dict, x):
     """
     D = cfg.delay_size
     T = x.shape[1]
-    peaks_in = jnp.max(jnp.abs(x), axis=0)  # channel-max per sample
+    peaks_in, state = input_peaks(cfg, state, x)
 
     def step(carry, inp):
         xk, pk = inp
