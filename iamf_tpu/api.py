@@ -198,6 +198,18 @@ class IAMFDecoder:
                 raise IAMFError("no descriptors to reconfigure with")
             self._enable_presentation(reuse=True)
             return 0
+        if self._status in ("receive", "reconfigure"):
+            # configure WITH data after frames have flowed (mid-stream
+            # non-redundant sequence header): the reference RESETS the
+            # object database and re-ingests from scratch
+            # (iamf_decoder_internal_configure :3800-3807
+            # iamf_database_reset + iamf_database_init), so stale
+            # same-id descriptors never shadow the new ones. The limiter
+            # re-init happens in _enable_presentation.
+            self.db = Database()
+            self._magic_found = False
+            self._have_config = False
+            self._status = "configure"
         pos = 0
         if not self._magic_found:
             off = parser.find_sequence_header(data)

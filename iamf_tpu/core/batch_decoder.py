@@ -315,6 +315,13 @@ class BatchedStreamDecoder:
         self.bits = bits
         self.batch_frames = batch_frames
         self.db = Database()
+        # kwargs for follow-on segment decoders (mid-stream reconfigure)
+        self._init_kw = dict(
+            sound_system=sound_system, bits=bits, batch_frames=batch_frames,
+            limiter=limiter, normalization_db=normalization_db,
+            peak_threshold_db=peak_threshold_db, binaural=binaural,
+            mix_presentation_id=mix_presentation_id)
+        self._next_data: bytes | None = None
         # decode-path visibility: which synthesis path each element took and
         # why a device path was rejected (a user benchmarking SILK content
         # must be able to see it measured the host path)
@@ -337,6 +344,21 @@ class BatchedStreamDecoder:
         body = data[off:] if isinstance(data, bytes) else bytes(
             memoryview(data)[off:])
         recs = parser.split_records(body)
+        # Mid-stream reconfigure: a NON-redundant Sequence Header after the
+        # first flips the reference decoder to RECONFIGURE and the player
+        # re-calls configure with the remaining bytes
+        # (IAMF_decoder.c:2918-2921, iamfplayer.c:623-626); non-redundant
+        # descriptor re-ingest rebuilds the streams. The batched timeline
+        # segments at that point: this instance decodes up to the boundary
+        # and decode_all() chains a follow-on decoder (fresh streams +
+        # limiter re-init, exactly the serial path's semantics) over the
+        # remainder, concatenating the PCM.
+        seq = np.flatnonzero(
+            (recs[:, 0] == 31) & ((recs[:, 1] & 1) == 0))  # SEQUENCE_HEADER
+        if seq.size > 1:
+            j = int(seq[1])
+            self._next_data = body[int(recs[j, 2]):]
+            recs = recs[:j]
         types = recs[:, 0]
         sids = recs[:, 7]
         self.frames_per_substream: dict[int, list[bytes]] = {}
@@ -741,7 +763,32 @@ class BatchedStreamDecoder:
         return np.asarray(quantize_interleave(out, self.bits))
 
     def decode_all(self, fetch: bool = True):
-        """Decode everything; returns [samples, out_channels] int PCM.
+        """Decode everything (all reconfigure segments); returns
+        [samples, out_channels] int PCM, or with fetch=False the on-device
+        batch list."""
+        out = self._decode_segment(fetch)
+        if self._next_data is None:
+            return out
+        if self.cfg.limiter is not None:
+            # the reference reconfigure re-inits the limiter WITHOUT
+            # flushing its delay line (configure :3810; the player
+            # reconfigures on INVALID_STATE with no data==NULL flush), so a
+            # non-final segment's last delay_size delayed samples are never
+            # emitted — drop our drained tail to match the serial path
+            d = self.cfg.limiter.delay_size
+            if fetch:
+                out = out[:-d] if out.shape[0] > d else out[:0]
+            elif out:
+                out[-1] = out[-1][:-d]
+        child = BatchedStreamDecoder(self._next_data, **self._init_kw)
+        nxt = child.decode_all(fetch)
+        self.stats.setdefault("segments", []).append(child.stats)
+        if fetch:
+            return np.concatenate([out, nxt], axis=0)
+        return out + nxt
+
+    def _decode_segment(self, fetch: bool = True):
+        """Decode this segment; returns [samples, out_channels] int PCM.
 
         Host unpack is a single vectorized pass; device batches are enqueued
         asynchronously (JAX dispatch) and results fetched at the end, so
