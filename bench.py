@@ -175,7 +175,7 @@ def time_decodes(stream: bytes, sound_system: int, repeats: int,
 
 
 def aggregate_decode(stream: bytes, sound_system: int, n_streams: int,
-                     result=None):
+                     result=None, name: str = "pcm"):
     """N independent streams decoded concurrently on one chip, PCM left
     on device — the production serving regime. Primary path: the vmapped
     multi-stream program (serving.MultiStreamServer — one dispatch per
@@ -200,7 +200,7 @@ def aggregate_decode(stream: bytes, sound_system: int, n_streams: int,
     except Exception as e:  # noqa: BLE001 — serving regime is optional
         log(f"vmapped aggregate unavailable ({e}); threaded fallback")
         if result is not None:
-            result["aggregate_path"] = "threaded"
+            result[f"{name}_aggregate_path"] = "threaded"
     import concurrent.futures as cf
     from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
 
@@ -225,13 +225,63 @@ def run_codec_stage(result, name, stream, sound_system, n_streams):
         stream, sound_system, 3 if remaining() > 120 else 1, False, 60)
     result[f"{name}_device_only_realtime_x"] = round(a_s / dev_s, 2)
     if n_streams > 1 and remaining() > 90:
-        agg_s = aggregate_decode(stream, sound_system, n_streams, result)
+        agg_s = aggregate_decode(stream, sound_system, n_streams, result,
+                                 name=name)
         result[f"{name}_aggregate_device_realtime_x"] = round(
             n_streams * a_s / agg_s, 2)
     log(f"{name}: device-only "
         f"{result.get(f'{name}_device_only_realtime_x')}x, aggregate "
         f"{result.get(f'{name}_aggregate_device_realtime_x')}x")
     return a_s
+
+
+def aac_oracle_rate(stream: bytes, audio_seconds: float):
+    """Time the fdk COFF oracle decoding the same AAC substream AUs.
+
+    The environment's reference tree ships AAC only as a Windows COFF lib
+    (no Linux .a), so reference iamfplayer builds here have NO AAC path and
+    no same-window reference rate exists (BASELINE.md). The fdk oracle —
+    the codec the reference would link — is the apples-to-apples
+    comparison; it is timed on bare substream decode with parse/render
+    excluded (a handicap in the oracle's favor)."""
+    from iamf_tpu.obu import parser as _p
+
+    prev = os.environ.get("IAMF_AAC_BACKEND")
+    os.environ["IAMF_AAC_BACKEND"] = "fdk"
+    try:
+        from iamf_tpu.codecs.aac.decoder import AACDecoder
+
+        body = stream[_p.find_sequence_header(stream):]
+        recs = _p.split_records(body)
+        frames: dict[int, list] = {}
+        cc = el = None
+        for i in range(len(recs)):
+            if recs[i, 7] >= 0:
+                frames.setdefault(int(recs[i, 7]), []).append(
+                    body[recs[i, 3]:recs[i, 3] + recs[i, 4]])
+            elif recs[i, 0] == 0:
+                cc = _p.parse_codec_config(_p.split_obu(body, int(recs[i, 2])))
+            elif recs[i, 0] == 1:
+                el = _p.parse_audio_element(_p.split_obu(body, int(recs[i, 2])))
+        nsub = len(el.substream_ids)
+        coupled = (el.channels_config.layers[0].nb_coupled_substreams
+                   if el.channels_config else 0)
+        units = min(len(frames[s]) for s in el.substream_ids)
+        dec = AACDecoder(cc.decoder_conf, nsub, coupled, 1024)
+        packets = [[frames[s][u] for s in el.substream_ids]
+                   for u in range(units)]
+        t0 = time.perf_counter()
+        for pkt in packets:
+            dec.decode(pkt)
+        return audio_seconds / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — oracle timing is best-effort
+        log(f"aac oracle timing failed: {e}")
+        return None
+    finally:
+        if prev is None:
+            os.environ.pop("IAMF_AAC_BACKEND", None)
+        else:
+            os.environ["IAMF_AAC_BACKEND"] = prev
 
 
 def reference_rate(stream: bytes, sound_system, audio_seconds: float,
@@ -334,11 +384,41 @@ def main() -> None:
 
     if n_streams > 1 and remaining() > 60:
         log(f"pcm: aggregate {n_streams}-stream decode")
-        agg_s = aggregate_decode(pcm_stream, sound_system, n_streams, result)
+        agg_s = aggregate_decode(pcm_stream, sound_system, n_streams,
+                                 result)
         result["aggregate_streams"] = n_streams
         result["aggregate_device_realtime_x"] = round(
             n_streams * audio_s / agg_s, 2)
         log(f"pcm: aggregate {result['aggregate_device_realtime_x']}x")
+
+    if n_streams > 1 and remaining() > 90:
+        # heterogeneous fleet: mixed stream LENGTHS served in ONE vmapped
+        # program (shorter members pad with neutral rows; test_serving.py
+        # pins bit-exactness) — the production shape real fleets have
+        try:
+            from iamf_tpu.core.serving import MultiStreamServer
+
+            het_secs = [seconds, seconds / 2, seconds / 2, seconds / 4]
+            het = [pcm_stream] + [build_stream(s, "pcm") for s in
+                                  het_secs[1:]]
+            srv = MultiStreamServer(het, sound_system=sound_system,
+                                    batch_frames=128)
+            srv.decode_all()  # warm (compile cache-backed)
+            t0 = time.perf_counter()
+            outs = srv.decode_all()
+            for o in outs:
+                o[-1].block_until_ready()
+            het_s = time.perf_counter() - t0
+            result["hetero_aggregate_streams"] = len(het)
+            result["hetero_aggregate_buckets"] = srv.n_buckets
+            result["hetero_aggregate_device_realtime_x"] = round(
+                sum(het_secs) / het_s, 2)
+            log(f"pcm: heterogeneous {len(het)}-stream fleet "
+                f"({srv.n_buckets} bucket) "
+                f"{result['hetero_aggregate_device_realtime_x']}x")
+        except Exception as e:
+            log(f"hetero aggregate failed: {e}")
+            result["hetero_aggregate_error"] = str(e)[:200]
 
     opus_audio_s = audio_s
     if opus_stream is not None and remaining() > 120:
@@ -355,7 +435,16 @@ def main() -> None:
             aac_seconds = seconds if content == "aac" else min(seconds, 10)
             aac_stream = build_stream(aac_seconds, "aac")
             run_codec_stage(result, "aac", aac_stream, sound_system,
-                            n_streams if content == "aac" else 0)
+                            n_streams)
+            if remaining() > 60:
+                orc = aac_oracle_rate(aac_stream, aac_seconds)
+                if orc:
+                    result["aac_oracle_realtime_x"] = round(orc, 2)
+                    if result.get("aac_device_only_realtime_x"):
+                        result["aac_speedup_vs_oracle"] = round(
+                            result["aac_device_only_realtime_x"] / orc, 2)
+                    log(f"aac oracle {orc:.1f}x -> "
+                        f"{result.get('aac_speedup_vs_oracle')}x")
         except Exception as e:
             log(f"aac stage failed: {e}")
             result["aac_error"] = str(e)[:200]

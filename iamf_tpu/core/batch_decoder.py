@@ -120,6 +120,21 @@ def _fused_decode(cfg, kinds: tuple, carry, params, bufs):
     return _fused_decode_body(cfg, kinds, carry, params, bufs)
 
 
+def plan_kinds(dec: "BatchedStreamDecoder") -> tuple:
+    """Static per-element synthesis kinds for the fused program — part of
+    the compiled-program key (with cfg), so also the serving bucket key."""
+
+    def _kind(e):
+        if e.opus:
+            nf, kf, hyb = e.opus_cfg
+            if (nf, kf, hyb) == (960, 1, False):
+                return "opus"  # the flagship CELT-960 operating point
+            return f"opus:{nf}:{kf}:{int(hyb)}"
+        return "aac" if e.aac else "raw"
+
+    return tuple(_kind(e) for e in dec.elems)
+
+
 class _HostPlan:
     """Host-side decode plan for one stream: whole-stream parameter
     tensors, per-element unpack / prefetched entropy decode, initial
@@ -127,7 +142,7 @@ class _HostPlan:
     BatchedStreamDecoder.decode_all and serving.MultiStreamServer (which
     runs S plans against one vmapped device program)."""
 
-    def __init__(self, dec: "BatchedStreamDecoder"):
+    def __init__(self, dec: "BatchedStreamDecoder", rows: int | None = None):
         import concurrent.futures as _cf
 
         self.dec = dec
@@ -136,9 +151,12 @@ class _HostPlan:
         n = self.n = dec.n_frames
         self.n_batches = -(-n // B)
         # whole-stream parameter tensors: ONE bulk h2d put each (+1 batch
-        # of neutral padding so the limiter drain can run past stream end)
+        # of neutral padding so the limiter drain can run past stream end).
+        # `rows` overrides the padded length — the multi-stream server pads
+        # every fleet member to the longest stream so the [S, ...] stacks
+        # are rectangular (padding rows are neutral by construction).
         self.stream_params = put_stream_params(
-            dec.cfg, dec.params, (self.n_batches + 1) * B)
+            dec.cfg, dec.params, rows or (self.n_batches + 1) * B)
         if any(es.hrtf_taps for es in dec.cfg.elements):
             # HRIR spectra at the batch conv length (device-resident, put
             # once; 5-smooth FFT size — see pipeline.decode_frames).
@@ -193,15 +211,7 @@ class _HostPlan:
                 elem_syn_carry.append(None)
         self.carry = {"pipe": init_carry(dec.cfg), "syn": elem_syn_carry}
 
-        def _kind(e):
-            if e.opus:
-                nf, kf, hyb = e.opus_cfg
-                if (nf, kf, hyb) == (960, 1, False):
-                    return "opus"  # the flagship CELT-960 operating point
-                return f"opus:{nf}:{kf}:{int(hyb)}"
-            return "aac" if e.aac else "raw"
-
-        self.kinds = tuple(_kind(e) for e in dec.elems)
+        self.kinds = plan_kinds(dec)
 
         # Output bookkeeping. With the pre-limiter trim splice
         # (cfg.head_trim), every call's PCM is delayed one batch and the

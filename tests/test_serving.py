@@ -94,10 +94,48 @@ def test_multistream_aac():
             np.testing.assert_array_equal(np.asarray(a), b)
 
 
-def test_multistream_rejects_mismatched_config():
-    a = vectors.build_pcm_layout_stream(
-        ChannelLayout.L714, n_frames=4, frame_size=960)[0]
-    b = vectors.build_pcm_layout_stream(
-        ChannelLayout.STEREO, n_frames=4, frame_size=960)[0]
-    with pytest.raises(ValueError):
-        MultiStreamServer([a, b], sound_system=9, batch_frames=4)
+def test_multistream_mixed_lengths():
+    """Heterogeneous fleet: same config class, different stream lengths —
+    shorter members pad with neutral rows/zero batches in ONE program and
+    each stream's kept output stays bit-exact."""
+    lens = [7, 13, 4]
+    streams = [
+        vectors.build_pcm_layout_stream(
+            ChannelLayout.L714, n_frames=n, frame_size=960,
+            amp=0.2 + 0.1 * i, seed=i)[0]
+        for i, n in enumerate(lens)
+    ]
+    srv = MultiStreamServer(streams, sound_system=9, batch_frames=4)
+    assert srv.n_buckets == 1  # one program despite the length mix
+    outs = srv.decode_all()
+    for s, stream in enumerate(streams):
+        ref = _per_stream(stream, sound_system=9, batch_frames=4)
+        assert len(outs[s]) == len(ref)
+        for a, b in zip(outs[s], ref):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_multistream_mixed_codec_and_layout():
+    """Fully heterogeneous fleet: pcm 7.1.4 + opus 7.1.4 + pcm stereo,
+    mixed lengths — bucketed into per-program groups, every stream
+    bit-exact vs its own decode."""
+    try:
+        opus = vectors.build_opus_layout_stream(
+            ChannelLayout.L714, n_frames=9, frame_size=960, amp=0.3)[0]
+    except Exception as e:
+        pytest.skip(f"opus encoder unavailable: {e}")
+    streams = [
+        vectors.build_pcm_layout_stream(
+            ChannelLayout.L714, n_frames=7, frame_size=960, amp=0.3)[0],
+        opus,
+        vectors.build_pcm_layout_stream(
+            ChannelLayout.STEREO, n_frames=5, frame_size=960, amp=0.5)[0],
+    ]
+    srv = MultiStreamServer(streams, sound_system=9, batch_frames=4)
+    assert srv.n_buckets == 3  # pcm-714 / opus-714 / pcm-stereo programs
+    outs = srv.decode_all()
+    for s, stream in enumerate(streams):
+        ref = _per_stream(stream, sound_system=9, batch_frames=4)
+        assert len(outs[s]) == len(ref)
+        for a, b in zip(outs[s], ref):
+            np.testing.assert_array_equal(np.asarray(a), b)
