@@ -480,7 +480,7 @@ def main() -> None:
             log(f"scalable mp4 stage failed: {e}")
             result["scalable_mp4_error"] = str(e)[:200]
     if remaining() > 80:
-        try:  # config 5: binaural (batched HRTF overlap-save conv path).
+        try:  # config 5: binaural (batched segmented HRTF conv path).
             # The reference build has the binauralizer compiled out
             # (DISABLE_BINAURALIZER=1) and renders -sb via the M2M matrix;
             # its rate is reported for the same content class.
@@ -491,6 +491,26 @@ def main() -> None:
         except Exception as e:
             log(f"binaural stage failed: {e}")
             result["binaural_error"] = str(e)[:200]
+    if remaining() > 60:
+        try:
+            # apples-to-apples with the reference's SHIPPED -sb: content
+            # with headphones_rendering_mode=0 renders binaural through
+            # the M2M IAMF_BINAURAL gain matrix on both sides (no HRTF
+            # conv) — the fair like-for-like ratio next to the
+            # conv-vs-matrix one above
+            import vectors
+            from iamf_tpu.constants import ChannelLayout
+
+            mtx_stream = vectors.build_pcm_layout_stream(
+                ChannelLayout.L714,
+                n_frames=int(cfg_seconds * 48000 / 960), frame_size=960,
+                amp=0.5, hrm=0)[0]
+            run_config_stage(result, "binaural_matrix", mtx_stream, 0,
+                             binaural=True,
+                             ref_kw={"sound_system": "b"})
+        except Exception as e:
+            log(f"binaural matrix stage failed: {e}")
+            result["binaural_matrix_error"] = str(e)[:200]
 
     profile_dir = os.environ.get("BENCH_PROFILE", "")
     if "--profile" in sys.argv:

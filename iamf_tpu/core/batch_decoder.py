@@ -158,20 +158,20 @@ class _HostPlan:
         self.stream_params = put_stream_params(
             dec.cfg, dec.params, rows or (self.n_batches + 1) * B)
         if any(es.hrtf_taps for es in dec.cfg.elements):
-            # HRIR spectra at the batch conv length (device-resident, put
-            # once; 5-smooth FFT size — see pipeline.decode_frames).
-            # Shipped as a stacked float32 [2(re/im), 2(ear), C, F] pair —
-            # complex64 host<->device transfers are NOT supported through
-            # the tunneled runtime (UNIMPLEMENTED, and the failed put
-            # latches the process's whole transfer path); the complex view
-            # is formed on device inside the jit.
-            from ..dsp.binaural import fft_conv_len
+            # HRIR spectra at the SEGMENT conv length (device-resident,
+            # put once; 5-smooth FFT size — see pipeline.decode_frames /
+            # dsp.binaural.batch_seg_plan). Shipped as a stacked float32
+            # [2(re/im), 2(ear), C, F] pair — complex64 host<->device
+            # transfers are NOT supported through the tunneled runtime
+            # (UNIMPLEMENTED, and the failed put latches the process's
+            # whole transfer path); the complex view is formed on device
+            # inside the jit.
+            from ..dsp.binaural import batch_seg_plan
 
             def _spec(e):
-                h = np.fft.rfft(
-                    e.hrtf_bank,
-                    n=fft_conv_len(B * T + e.hrtf_bank.shape[2] - 1),
-                    axis=2)
+                taps = e.hrtf_bank.shape[2]
+                _, n, _ = batch_seg_plan(B, T, taps)
+                h = np.fft.rfft(e.hrtf_bank, n=n, axis=2)
                 return jnp.asarray(np.stack(
                     [h.real, h.imag]).astype(np.float32))
 

@@ -280,28 +280,37 @@ def decode_frames(cfg: PipelineConfig, carry: dict, params: dict, xs: list):
                 lambda inp, i=i: _element_frame(cfg, i, inp)
             )(per_frame_inputs)  # [B, C_i, T]
             if es.hrtf_taps:
-                from ..dsp.binaural import fft_conv_len
+                from ..dsp.binaural import batch_seg_plan
 
                 taps = es.hrtf_taps
                 C = r.shape[1]
-                flat = r.transpose(1, 0, 2).reshape(C, B * T)
-                # 5-smooth FFT length: a raw B*T+taps-1 has large prime
-                # factors and XLA:TPU would lower it to an O(n^2) DFT
-                # matmul (~60 GB at batch scale); zero-padding keeps the
-                # linear convolution exact
-                n = fft_conv_len(B * T + taps - 1)
-                X = jnp.fft.rfft(flat, n=n, axis=1)  # [C, F]
+                # segmented overlap-add (batch_seg_plan docstring): a
+                # batched stack of small 5-smooth FFTs replaces the one
+                # whole-batch transform; each segment's conv tail adds
+                # into the next segment and the last tail is the same
+                # [2, taps-1] carry as before. FFT lengths stay 5-smooth
+                # (a large prime factor would make XLA lower the FFT to a
+                # dense O(n^2) DFT matmul).
+                seg, n, S = batch_seg_plan(B, T, taps)
+                xs = r.transpose(1, 0, 2).reshape(C, S, seg).transpose(
+                    1, 0, 2)  # [S, C, seg]
+                X = jnp.fft.rfft(xs, n=n, axis=2)  # [S, C, F]
                 # hrtf_H ships as stacked float32 re/im (complex64 h2d is
                 # unsupported through the tunneled runtime); complex view
                 # is formed here on device
                 Hri = params["hrtf_H"][i]
                 H = jax.lax.complex(Hri[0], Hri[1])
-                Y = jnp.einsum("ecf,cf->ef", H, X,
+                Y = jnp.einsum("ecf,scf->sef", H, X,
                                precision=jax.lax.Precision.HIGHEST)
-                y = jnp.fft.irfft(Y, n=n, axis=1)  # [2, n]
-                out = y[:, : B * T].at[:, : taps - 1].add(carry["hrtf"][i])
-                new_hrtf[i] = y[:, B * T: B * T + taps - 1]
-                r = out.reshape(2, B, T).transpose(1, 0, 2)  # [B, 2, T]
+                y = jnp.fft.irfft(Y, n=n, axis=2)  # [S, 2, n]
+                main = y[:, :, :seg]
+                tails = y[:, :, seg:seg + taps - 1]  # [S, 2, taps-1]
+                prev = jnp.concatenate(
+                    [carry["hrtf"][i][None], tails[:-1]], axis=0)
+                main = main.at[:, :, :taps - 1].add(prev)
+                new_hrtf[i] = tails[-1]
+                r = main.transpose(1, 0, 2).reshape(2, B, T).transpose(
+                    1, 0, 2)  # [B, 2, T]
             g = per_frame_inputs["elem_gain"][i]
             r = r * g[:, None, :] if es.per_sample_gain else r * g[:, None, None]
             mixed = r if mixed is None else mixed + r

@@ -207,6 +207,27 @@ def fft_conv_len(n: int) -> int:
     return m
 
 
+def batch_seg_plan(B: int, T: int, taps: int) -> tuple[int, int, int]:
+    """Segmented overlap-add plan for the batched HRTF conv:
+    (seg, n_fft, n_segs) for a [*, B*T] timeline.
+
+    One whole-batch overlap-save FFT (fft_conv_len(128*960+255) = 124416 =
+    2^9*3^5) was the round-4 design point; the 3^5 radix stages and the
+    single huge batch-1 transform leave the TPU FFT unit underfed. Cutting
+    the timeline into `n_segs` segments of `seg` samples convolved at
+    n_fft = fft_conv_len(seg+taps-1) turns it into a BATCHED stack of
+    small power-of-two-dominant FFTs (radix-2/4 friendly, VMEM-resident)
+    with the same exact linear convolution: each segment's tail (taps-1
+    samples) adds into the next segment, and the last tail is the carry —
+    the identical [2, taps-1] overlap state the whole-batch formulation
+    kept. seg is the largest multiple of T with at most 8 frames that
+    divides B*T."""
+    for g in (8, 4, 2, 1):
+        if B % g == 0:
+            seg = g * T
+            return seg, fft_conv_len(seg + taps - 1), B // g
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _fft_conv_block(x, Hri, overlap, taps: int):
     """Overlap-save frequency-domain convolution of one frame.

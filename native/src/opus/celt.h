@@ -97,6 +97,19 @@ void denormalise_bands(const float* X, float* freq, const float* bandLogE,
 // ---- PVQ ---------------------------------------------------------------
 
 void decode_pulses(int* y, int N, int K, EntDec& dec);
+// standalone index->pulse expansion (the cwrsi walk) for the TPU-kernel
+// experiment harness; y must hold N ints
+void cwrsi_export(int n, int k, uint32_t i, int* y);
+// IAMF_LEAF_TAP: record decoded PVQ leaves (n, k, index) for kernel
+// experiments; ring capacity 1<<20
+struct LeafTap {
+  std::atomic<long long> count{0};
+  int n[1 << 20];
+  int k[1 << 20];
+  uint32_t idx[1 << 20];
+};
+extern LeafTap g_leaf_tap;
+bool leaf_tap_enabled();
 // decode + rotate + normalize. Returns collapse mask.
 unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
                      float gain);
@@ -177,6 +190,22 @@ struct BandTap {
   float preemph_tap[2];
 };
 extern BandTap g_band_tap;
+
+// IAMF_BAND_STATS accumulators (celt_bands.cc): band-decode structure
+// census used to size the device-side reconstruction design — counts of
+// leaf kinds and linear passes, plus bin totals per kind.
+struct BandStats {
+  std::atomic<long long> pvq_leaves{0}, pvq_bins{0};
+  std::atomic<long long> fold_leaves{0}, fold_bins{0};
+  std::atomic<long long> noise_leaves{0}, noise_bins{0};
+  std::atomic<long long> zero_leaves{0}, zero_bins{0};
+  std::atomic<long long> splits{0}, theta_calls{0};
+  std::atomic<long long> haar_calls{0}, haar_bins{0};
+  std::atomic<long long> stereo_bands{0}, frames{0};
+  std::atomic<long long> max_leaves_frame{0};
+};
+extern BandStats g_band_stats;
+bool band_stats_enabled();
 
 // Decode one CELT frame (N = 120<<LM samples) into pcm (interleaved float,
 // [-1,1] scale). `dec` must be initialized over the frame payload.

@@ -12,6 +12,13 @@
 
 namespace iamf_opus {
 
+BandStats g_band_stats;
+bool band_stats_enabled() {
+  static const bool on = getenv("IAMF_BAND_STATS") != nullptr;
+  return on;
+}
+static thread_local long long tl_frame_leaves = 0;
+
 static inline int imin(int a, int b) { return a < b ? a : b; }
 static inline int imax(int a, int b) { return a > b ? a : b; }
 
@@ -222,6 +229,10 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
     B = (B + 1) >> 1;
     SplitCtx sctx;
     compute_theta(ctx, &sctx, X, Y, N, &b, B, B0, LM, 0, &fill);
+    if (band_stats_enabled()) {
+      g_band_stats.splits.fetch_add(1, std::memory_order_relaxed);
+      g_band_stats.theta_calls.fetch_add(1, std::memory_order_relaxed);
+    }
     int imid = sctx.imid, iside = sctx.iside;
     int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
     float mid = (1.f / 32768) * imid;
@@ -272,11 +283,21 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
     if (q != 0) {
       int K = get_pulses(q);
       cm = alg_unquant(X, N, K, ctx->spread, B, ec, gain);
+      if (band_stats_enabled()) {
+        g_band_stats.pvq_leaves.fetch_add(1, std::memory_order_relaxed);
+        g_band_stats.pvq_bins.fetch_add(N, std::memory_order_relaxed);
+        tl_frame_leaves++;
+      }
     } else {
       unsigned cm_mask = (unsigned)(1 << B) - 1;
       fill &= (int)cm_mask;
       if (!fill) {
         memset(X, 0, N * sizeof(float));
+        if (band_stats_enabled()) {
+          g_band_stats.zero_leaves.fetch_add(1, std::memory_order_relaxed);
+          g_band_stats.zero_bins.fetch_add(N, std::memory_order_relaxed);
+          tl_frame_leaves++;
+        }
       } else {
         if (lowband == nullptr) {
           for (int j = 0; j < N; ++j) {
@@ -284,6 +305,12 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
             X[j] = (float)((int32_t)ctx->seed >> 20);
           }
           cm = cm_mask;
+          if (band_stats_enabled()) {
+            g_band_stats.noise_leaves.fetch_add(1,
+                                                std::memory_order_relaxed);
+            g_band_stats.noise_bins.fetch_add(N, std::memory_order_relaxed);
+            tl_frame_leaves++;
+          }
         } else {
           for (int j = 0; j < N; ++j) {
             ctx->seed = celt_lcg_rand(ctx->seed);
@@ -292,6 +319,12 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
             X[j] = lowband[j] + tmp;
           }
           cm = (unsigned)fill;
+          if (band_stats_enabled()) {
+            g_band_stats.fold_leaves.fetch_add(1,
+                                               std::memory_order_relaxed);
+            g_band_stats.fold_bins.fetch_add(N, std::memory_order_relaxed);
+            tl_frame_leaves++;
+          }
         }
         renormalise_vector(X, N, gain);
       }
@@ -380,6 +413,8 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
   if (N == 1) return quant_band_n1(ctx, X, Y, lowband_out);
 
   int orig_fill = fill;
+  if (band_stats_enabled())
+    g_band_stats.stereo_bands.fetch_add(1, std::memory_order_relaxed);
   SplitCtx sctx;
   compute_theta(ctx, &sctx, X, Y, N, &b, B, B, LM, 1, &fill);
   int inv = sctx.inv;
@@ -475,6 +510,10 @@ void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
   ctx.spread = spread;
   ctx.seed = *seed;
 
+  if (band_stats_enabled()) {
+    g_band_stats.frames.fetch_add(1, std::memory_order_relaxed);
+    tl_frame_leaves = 0;
+  }
   for (int i = start; i < end; ++i) {
     ctx.i = i;
     int last = i == end - 1;
@@ -559,6 +598,14 @@ void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
     update_lowband = b > (N << BITRES);
   }
   *seed = ctx.seed;
+  if (band_stats_enabled()) {
+    long long cur = g_band_stats.max_leaves_frame.load(
+        std::memory_order_relaxed);
+    while (tl_frame_leaves > cur &&
+           !g_band_stats.max_leaves_frame.compare_exchange_weak(
+               cur, tl_frame_leaves, std::memory_order_relaxed)) {
+    }
+  }
 }
 
 void anti_collapse(float* X_, const unsigned char* collapse_masks, int LM,

@@ -118,9 +118,31 @@ static void cwrsi(int n, int k, uint32_t i, int* y) {
   }
 }
 
+LeafTap g_leaf_tap;
+bool leaf_tap_enabled() {
+  static const bool on = getenv("IAMF_LEAF_TAP") != nullptr;
+  return on;
+}
+
+void cwrsi_export(int n, int k, uint32_t i, int* y) { cwrsi(n, k, i, y); }
+
 void decode_pulses(int* y, int n, int k, EntDec& dec) {
   ProfTsc _pt(4);
-  cwrsi(n, k, dec.uint(V(n, k)), y);
+  uint32_t i;
+  {
+    ProfTsc _pu(7);  // sub-slot: the range-decoder uint read alone
+    i = dec.uint(V(n, k));
+  }
+  if (leaf_tap_enabled()) {
+    long long c =
+        g_leaf_tap.count.fetch_add(1, std::memory_order_relaxed);
+    if (c < (1 << 20)) {
+      g_leaf_tap.n[c] = n;
+      g_leaf_tap.k[c] = k;
+      g_leaf_tap.idx[c] = i;
+    }
+  }
+  cwrsi(n, k, i, y);
 }
 
 static void exp_rotation1(float* X, int len, int stride, float c, float s) {
@@ -202,6 +224,11 @@ unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
 }
 
 void haar1(float* X, int N0, int stride) {
+  if (band_stats_enabled()) {
+    g_band_stats.haar_calls.fetch_add(1, std::memory_order_relaxed);
+    g_band_stats.haar_bins.fetch_add(N0 * stride,
+                                     std::memory_order_relaxed);
+  }
   N0 >>= 1;
   for (int i = 0; i < stride; ++i) {
     for (int j = 0; j < N0; ++j) {

@@ -647,3 +647,57 @@ int iamf_opus_decode_float_batch(void* ptr, const unsigned char* data,
   return n;
 }
 }
+
+// IAMF_BAND_STATS census reader: out[14] = {pvq_leaves, pvq_bins,
+// fold_leaves, fold_bins, noise_leaves, noise_bins, zero_leaves,
+// zero_bins, splits, theta_calls, haar_calls, haar_bins, stereo_bands,
+// frames}; out[14] = max leaves in one frame. reset!=0 zeroes them.
+extern "C" void iamf_opus_band_stats(long long* out, int reset) {
+  using namespace iamf_opus;
+  std::atomic<long long>* f[] = {
+      &g_band_stats.pvq_leaves,   &g_band_stats.pvq_bins,
+      &g_band_stats.fold_leaves,  &g_band_stats.fold_bins,
+      &g_band_stats.noise_leaves, &g_band_stats.noise_bins,
+      &g_band_stats.zero_leaves,  &g_band_stats.zero_bins,
+      &g_band_stats.splits,       &g_band_stats.theta_calls,
+      &g_band_stats.haar_calls,   &g_band_stats.haar_bins,
+      &g_band_stats.stereo_bands, &g_band_stats.frames,
+      &g_band_stats.max_leaves_frame};
+  for (int i = 0; i < 15; ++i) {
+    out[i] = f[i]->load(std::memory_order_relaxed);
+    if (reset) f[i]->store(0, std::memory_order_relaxed);
+  }
+}
+
+// cwrsi micro-bench + correctness shim: decode `count` recorded PVQ
+// leaves (n[i], k[i], idx[i]) into y_out[count][208], repeated `reps`
+// times; returns nanoseconds per rep. Used by the TPU-kernel experiment
+// to establish the host baseline on REAL leaf data (TRACE.md round 5).
+extern "C" long long iamf_cwrsi_bench(const int* n, const int* k,
+                                      const uint32_t* idx, int count,
+                                      int reps, int* y_out) {
+  auto t0 = std::chrono::steady_clock::now();
+  for (int r = 0; r < reps; ++r)
+    for (int c = 0; c < count; ++c)
+      iamf_opus::cwrsi_export(n[c], k[c], idx[c], y_out + (size_t)c * 208);
+  auto t1 = std::chrono::steady_clock::now();
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(t1 - t0)
+             .count() / (reps > 0 ? reps : 1);
+}
+
+// LeafTap reader: copies up to max_count recorded (n, k, index) triples;
+// returns the number recorded (reset!=0 zeroes the tap).
+extern "C" long long iamf_leaf_tap_read(int* n, int* k, uint32_t* idx,
+                                        long long max_count, int reset) {
+  using iamf_opus::g_leaf_tap;
+  long long c = g_leaf_tap.count.load(std::memory_order_relaxed);
+  if (c > (1 << 20)) c = 1 << 20;
+  if (c > max_count) c = max_count;
+  for (long long i = 0; i < c; ++i) {
+    n[i] = g_leaf_tap.n[i];
+    k[i] = g_leaf_tap.k[i];
+    idx[i] = g_leaf_tap.idx[i];
+  }
+  if (reset) g_leaf_tap.count.store(0, std::memory_order_relaxed);
+  return c;
+}
