@@ -80,10 +80,18 @@ def _search_le(u_row, i, upper):
     return jnp.sum(mask.astype(jnp.int32), axis=1) - 1
 
 
-@jax.jit
-def cwrsi_batch(n, k, idx):
+@functools.partial(jax.jit, static_argnames=("align", "n_max"))
+def cwrsi_batch(n, k, idx, align: bool = True, n_max: int = N_MAX):
     """Decode a batch of PVQ leaves: (n, k, idx) int32/uint32 [L] ->
-    pulses int32 [L, N_MAX] (entries beyond a leaf's n are 0).
+    pulses int32 [L, N_MAX].
+
+    align=True places each leaf's coefficients at [0, n) (entries beyond
+    are 0) — the layout the tests diff against the host walk. align=False
+    returns the raw walk-ordered layout (leaf coefficient j at column
+    N_MAX - n + j): the final re-alignment is a per-lane variable shift
+    that XLA lowers to scalar-unit gathers, and an integrated device
+    reconstruction consumes walk-ordered pulses + the (host-known) shift
+    as metadata instead of paying it.
 
     Mirrors celt_pvq.cc cwrsi() exactly; dimensions unroll from N_MAX down
     to 3, then the closed n==2 / n==1 forms."""
@@ -94,33 +102,40 @@ def cwrsi_batch(n, k, idx):
     n0 = n.astype(jnp.int32)
     outs = []
 
+    jidx = jnp.arange(U_MAX_K, dtype=jnp.int32)
+
     def step(d, kk, i):
-        """One dimension of the walk (C loop body for current dim d)."""
+        """One dimension of the walk (C loop body for current dim d).
+
+        NO gathers anywhere: per-lane row lookups u_d[v] are evaluated as
+        one-hot selects over the same [lanes, 132] broadcast the search
+        uses — XLA:TPU lowers small-table jnp.take to scalar-unit gathers
+        (measured 4 us/lane-step, 14x SLOWER than the host walk); the
+        select form stays on the VPU."""
         u_d = rows[d]
-        take = lambda v: jnp.take(u_d, jnp.clip(v, 0, U_MAX_K - 1))
+        onehot = lambda v: jnp.sum(
+            jnp.where(jidx[None, :] == v[:, None], u_d[None, :],
+                      jnp.uint32(0)), axis=1)
         ge = kk >= d  # "lots of pulses" branch
+        p_k1 = onehot(kk + 1)   # U(n, k+1) — shared by branch A and B
+        p_k0 = onehot(kk)       # U(n, k)
         # ---- branch A (k >= n): p = U(n, k+1); s = i >= p; i -= p&s
-        pA = take(kk + 1)
-        sA = ge & (i >= pA)
-        iA = jnp.where(sA, i - pA, i)
+        sA = ge & (i >= p_k1)
+        iA = jnp.where(sA, i - p_k1, i)
         q = u_d[d]  # U(n, n)
         upperA = jnp.where(q > iA, d - 1, kk)
         kA = _search_le(u_d, iA, upperA)
-        pA2 = take(kA)
-        iA2 = iA - jnp.where(ge, pA2, 0)
         # ---- branch B (k < n)
-        p0 = take(kk)
-        qB = take(kk + 1)
-        zero = (~ge) & (p0 <= i) & (i < qB)
-        sB = (~ge) & ~zero & (i >= qB)
-        iB = jnp.where(zero, i - p0, jnp.where(sB, i - qB, i))
+        zero = (~ge) & (p_k0 <= i) & (i < p_k1)
+        sB = (~ge) & ~zero & (i >= p_k1)
+        iB = jnp.where(zero, i - p_k0, jnp.where(sB, i - p_k1, i))
         kB = _search_le(u_d, iB, kk - 1)
-        pB2 = take(kB)
-        iB2 = jnp.where(zero, iB, iB - jnp.where(~ge, pB2, 0))
-        # ---- merge
+        # ---- merge, then ONE shared one-hot for p = u_d[k_new]
         s = jnp.where(ge, sA, sB)
         k_new = jnp.where(ge, kA, jnp.where(zero, kk, kB))
-        i_new = jnp.where(ge, iA2, iB2)
+        p_new = onehot(k_new)
+        i_new = jnp.where(ge, iA - p_new,
+                          jnp.where(zero, iB, iB - p_new))
         si = jnp.where(s, jnp.int32(-1), jnp.int32(0))
         y = jnp.where(zero, 0, ((kk - k_new + si) ^ si))
         # inactive lanes (their walk hasn't started / already closed)
@@ -128,7 +143,9 @@ def cwrsi_batch(n, k, idx):
         return (jnp.where(act, k_new, kk), jnp.where(act, i_new, i),
                 jnp.where(act, y, 0))
 
-    for d in range(N_MAX, 2, -1):
+    # n_max: static unroll bound — callers bucketing leaves by dimension
+    # (e.g. n <= 8 covers ~2/3 of real leaves) skip the idle top steps
+    for d in range(n_max, 2, -1):
         kk, i, y = step(d, kk, i)
         outs.append(y)
 
@@ -146,10 +163,12 @@ def cwrsi_batch(n, k, idx):
     si = -(i.astype(jnp.int32))
     outs.append((kk + si) ^ si)
 
-    walk = jnp.stack(outs, axis=0)  # [N_MAX, L] in walk (dim-desc) order
-    # leaf-local coefficient j was emitted at walk step (N_MAX - n0 + j)
-    j = jnp.arange(N_MAX, dtype=jnp.int32)[None, :]
-    src = jnp.clip(N_MAX - n0[:, None] + j, 0, N_MAX - 1)
+    walk = jnp.stack(outs, axis=0)  # [n_max, L] in walk (dim-desc) order
+    if not align:
+        return walk.T
+    # leaf-local coefficient j was emitted at walk step (n_max - n0 + j)
+    j = jnp.arange(n_max, dtype=jnp.int32)[None, :]
+    src = jnp.clip(n_max - n0[:, None] + j, 0, n_max - 1)
     y = jnp.take_along_axis(walk.T, src, axis=1)
     return jnp.where(j < n0[:, None], y, 0)
 

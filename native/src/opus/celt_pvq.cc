@@ -61,30 +61,52 @@ static inline uint32_t U(int n, int k) {
 
 static inline uint32_t V(int n, int k) { return U(n, k) + U(n, k + 1); }
 
+// Row-contiguous search table: rows_tab[n][j] = U(j, n) for every j the
+// walk can touch. The canonical (n-major, k<=n) layout makes the k>=n
+// branch's descending search a COLUMN access (one cache line per probe,
+// measured as the dominant cwrsi cost); this 132-wide symmetric row view
+// keeps every probe of a dimension inside one ~528 B row.
+constexpr int ROW_W = U_MAX_K;  // 132 covers k+1 <= 129
+static const uint32_t* rows_tab() {
+  static const uint32_t* tab = [] {
+    uint32_t* t = new uint32_t[(size_t)U_MAX_N * ROW_W];
+    for (int n = 0; n < U_MAX_N; ++n)
+      for (int j = 0; j < ROW_W; ++j) t[(size_t)n * ROW_W + j] = U(j, n);
+    return (const uint32_t*)t;
+  }();
+  return tab;
+}
+
+// Largest j <= start with row[j] <= i (row nondecreasing, row[0] = 0).
+// Contiguous descending probes; an AVX2 8-wide chunk variant measured
+// slightly SLOWER here (searches are short on real content — the win is
+// the row-contiguous layout, not SIMD).
+static inline int row_search_le(const uint32_t* row, int start, uint32_t i) {
+  int s = start;
+  while (s > 0 && row[s] > i) s--;
+  return s;
+}
+
 // cwrsi: PVQ index -> pulse vector (cwrs.c semantics)
 static void cwrsi(int n, int k, uint32_t i, int* y) {
+  const uint32_t* rows = rows_tab();
   while (n > 2) {
+    const uint32_t* row = rows + (size_t)n * ROW_W;
     uint32_t p;
     int s, k0;
     if (k >= n) {  // lots of pulses: search within this dimension first
-      p = U(n, k + 1);
+      p = row[k + 1];
       s = -(int)(i >= p);
       i -= p & (uint32_t)s;
       k0 = k;
-      uint32_t q = U(n, n);
-      if (q > i) {
-        k = n;
-        do {
-          p = U(--k, n);
-        } while (p > i);
-      } else {
-        for (p = U(n, k); p > i; p = U(n, k)) k--;
-      }
+      uint32_t q = row[n];
+      k = row_search_le(row, q > i ? n - 1 : k, i);
+      p = row[k];
       i -= p;
       *y++ = (int)(((k0 - k + s) ^ s));
     } else {  // lots of dimensions
-      uint32_t p0 = U(k, n);
-      uint32_t q = U(k + 1, n);
+      uint32_t p0 = row[k];
+      uint32_t q = row[k + 1];
       if (p0 <= i && i < q) {
         i -= p0;
         *y++ = 0;
@@ -92,9 +114,10 @@ static void cwrsi(int n, int k, uint32_t i, int* y) {
         s = -(int)(i >= q);
         i -= q & (uint32_t)s;
         k0 = k;
-        do {
-          p = U(--k, n);
-        } while (p > i);
+        // the reference do-while decrements before its first probe, so a
+        // k=0 start lands on U(-1,n)=0 at k=-1
+        k = k > 0 ? row_search_le(row, k - 1, i) : -1;
+        p = k >= 0 ? row[k] : 0;
         i -= p;
         *y++ = (int)(((k0 - k + s) ^ s));
       }
