@@ -154,7 +154,10 @@ void decode_pulses(int* y, int n, int k, EntDec& dec) {
   uint32_t i;
   {
     ProfTsc _pu(7);  // sub-slot: the range-decoder uint read alone
-    i = dec.uint(V(n, k));
+    // V(n,k) via the row-contiguous table (same cache argument as the
+    // cwrsi searches: k >= n would column-access the canonical table)
+    const uint32_t* row = rows_tab() + (size_t)n * ROW_W;
+    i = dec.uint(row[k] + row[k + 1]);
   }
   if (leaf_tap_enabled()) {
     long long c =
