@@ -204,15 +204,33 @@ def aggregate_decode(stream: bytes, sound_system: int, n_streams: int,
     import concurrent.futures as cf
     from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
 
-    decs = [BatchedStreamDecoder(stream, sound_system=sound_system,
-                                 batch_frames=128)
-            for _ in range(n_streams)]
-    t0 = time.perf_counter()
-    with cf.ThreadPoolExecutor(n_streams) as ex:
-        outs = list(ex.map(lambda dd: dd.decode_all(fetch=False), decs))
-    for o in outs:
-        o[-1].block_until_ready()
-    return time.perf_counter() - t0
+    # N concurrent decoders each carrying a cores-sized substream pool
+    # oversubscribe the host N-fold; one entropy thread per decoder
+    # measured +38% aggregate on this 2-core box (TRACE.md round 5)
+    prev_threads = os.environ.get("IAMF_OPUS_THREADS")
+    os.environ["IAMF_OPUS_THREADS"] = "1"
+    try:
+        best = None
+        for rep in range(2):  # best-of-2, same convention as time_decodes
+            decs = [BatchedStreamDecoder(stream, sound_system=sound_system,
+                                         batch_frames=128)
+                    for _ in range(n_streams)]
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(n_streams) as ex:
+                outs = list(ex.map(lambda dd: dd.decode_all(fetch=False),
+                                   decs))
+            for o in outs:
+                o[-1].block_until_ready()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            if remaining() < 60:
+                break
+        return best
+    finally:
+        if prev_threads is None:
+            os.environ.pop("IAMF_OPUS_THREADS", None)
+        else:
+            os.environ["IAMF_OPUS_THREADS"] = prev_threads
 
 
 def run_codec_stage(result, name, stream, sound_system, n_streams):

@@ -295,7 +295,13 @@ class OpusDecoder(CodecDecoder):
                 # pool sized to the host cores, not the substream count:
                 # 7 threads on a 2-core box only adds context switching,
                 # and in aggregate serving N streams each carry a pool
+                # IAMF_OPUS_THREADS overrides for aggregate serving:
+                # N concurrent decoders each carrying a cores-sized pool
+                # oversubscribe the host N-fold; the bench's threaded
+                # aggregate sets 1
+                _n = int(os.environ.get("IAMF_OPUS_THREADS", "0"))
                 self._pool = _cf.ThreadPoolExecutor(
+                    _n if _n > 0 else
                     min(len(self._decoders), os.cpu_count() or 2))
             list(self._pool.map(run_substream, range(len(self._decoders))))
         else:
@@ -370,7 +376,13 @@ class OpusDecoder(CodecDecoder):
                 # pool sized to the host cores, not the substream count:
                 # 7 threads on a 2-core box only adds context switching,
                 # and in aggregate serving N streams each carry a pool
+                # IAMF_OPUS_THREADS overrides for aggregate serving:
+                # N concurrent decoders each carrying a cores-sized pool
+                # oversubscribe the host N-fold; the bench's threaded
+                # aggregate sets 1
+                _n = int(os.environ.get("IAMF_OPUS_THREADS", "0"))
                 self._pool = _cf.ThreadPoolExecutor(
+                    _n if _n > 0 else
                     min(len(self._decoders), os.cpu_count() or 2))
             list(self._pool.map(run_substream, range(len(self._decoders))))
         else:
