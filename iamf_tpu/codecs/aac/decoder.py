@@ -62,6 +62,13 @@ def _load_native():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
     ]
+    _lib.iamf_aac_decode_spectrum_batch.restype = ctypes.c_int
+    _lib.iamf_aac_decode_spectrum_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_longlong,
+    ]
     return _lib
 
 
@@ -222,28 +229,30 @@ class AACDecoder(CodecDecoder):
         B = len(frames)
         L = sum(ch for _, ch in self._decoders)
         spec = np.zeros((B, L, 1024), np.float32)
-        win_seq = np.zeros((B, L), np.int32)
-        shape = np.zeros((B, L), np.int32)
-        prev_shape = np.zeros((B, L), np.int32)
-        sbuf = np.zeros(2 * 1024, np.float32)
-        meta = np.zeros(6, np.int32)
-        for b, packets in enumerate(frames):
-            lane = 0
-            for i, (h, ch) in enumerate(self._decoders):
-                pkt = packets[i]
-                if pkt is None:
-                    raise ValueError("missing aac sub packet")
-                r = lib.iamf_aac_decode_spectrum(
-                    h, bytes(pkt), len(pkt),
-                    sbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
-                if r < 0:
-                    raise ValueError(f"aac spectrum decode failed ({r})")
-                sl = slice(lane, lane + ch)
-                spec[b, sl] = sbuf[: ch * 1024].reshape(ch, 1024)
-                win_seq[b, sl] = meta[0::3][:ch]
-                shape[b, sl] = meta[1::3][:ch]
-                prev_shape[b, sl] = meta[2::3][:ch]
-                lane += ch
-        return dict(spec=spec, win_seq=win_seq, shape=shape,
-                    prev_shape=prev_shape)
+        meta = np.zeros((B, L, 3), np.int32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lane = 0
+        for i, (h, ch) in enumerate(self._decoders):
+            # ONE GIL-free native call per substream for the whole batch
+            # (iamf_aac_decode_spectrum_batch, aac_frame.cc): the old
+            # per-(frame, substream) loop cost ~900 ctypes round-trips per
+            # 128-frame batch — the same wall the FLAC path removed in
+            # round 4 — and serialized the host entropy on the GIL under
+            # aggregate serving
+            pkts = [frames[b][i] for b in range(B)]
+            if any(p is None for p in pkts):
+                raise ValueError("missing aac sub packet")
+            blob = b"".join(bytes(p) for p in pkts)
+            sizes = np.array([len(p) for p in pkts], np.int32)
+            r = lib.iamf_aac_decode_spectrum_batch(
+                h, blob, sizes.ctypes.data_as(ip), B,
+                ctypes.c_longlong(L * 1024), ctypes.c_longlong(1024),
+                spec[:, lane:].ctypes.data_as(fp),
+                meta[:, lane:].ctypes.data_as(ip),
+                ctypes.c_longlong(L * 3))
+            if r != B:
+                raise ValueError(f"aac spectrum decode failed ({r})")
+            lane += ch
+        return dict(spec=spec, win_seq=meta[..., 0], shape=meta[..., 1],
+                    prev_shape=meta[..., 2])

@@ -919,4 +919,40 @@ int iamf_aac_decode_spectrum(void* h, const uint8_t* au, int size,
   return 1024;
 }
 
+// Batched strided spectrum export: decode n consecutive AUs of ONE
+// substream in a single GIL-free call, writing each frame's spectra and
+// window metadata straight into the caller's packed arrays.
+// spec_base/meta_base address frame 0 of this substream's first lane;
+// row_stride/ch_stride are in floats (ints for meta, 3 per lane).
+// One call per substream replaces the per-(frame, substream) ctypes loop
+// (~900 calls/batch) exactly like flac_frame.cc's batched decode.
+// Returns n, or the failing frame index encoded as -(1000 + idx) after a
+// negative decode.
+int iamf_aac_decode_spectrum_batch(void* h, const uint8_t* data,
+                                   const int* sizes, int n,
+                                   long long row_stride, long long ch_stride,
+                                   float* spec_base, int* meta_base,
+                                   long long meta_row_stride) {
+  Decoder* d = (Decoder*)h;
+  const uint8_t* p = data;
+  for (int f = 0; f < n; ++f) {
+    Bits bs(p, sizes[f]);
+    int got = raw_data_block(bs, *d);
+    if (got < 0 || got != d->nch) return -(1000 + f);
+    float* spec = spec_base + (size_t)f * row_stride;
+    int* meta = meta_base + (size_t)f * meta_row_stride;
+    for (int c = 0; c < d->nch; c++) {
+      memcpy(spec + (size_t)c * ch_stride, d->ch[c].spec,
+             1024 * sizeof(float));
+      int shape = d->ch[c].ics.window_shape;
+      meta[3 * c] = d->ch[c].ics.window_sequence;
+      meta[3 * c + 1] = shape;
+      meta[3 * c + 2] = d->prev_shape[c] < 0 ? shape : d->prev_shape[c];
+      d->prev_shape[c] = shape;
+    }
+    p += sizes[f];
+  }
+  return n;
+}
+
 }  // extern "C"
