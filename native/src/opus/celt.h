@@ -100,15 +100,27 @@ void decode_pulses(int* y, int N, int K, EntDec& dec);
 // standalone index->pulse expansion (the cwrsi walk) for the TPU-kernel
 // experiment harness; y must hold N ints
 void cwrsi_export(int n, int k, uint32_t i, int* y);
-// IAMF_LEAF_TAP: record decoded PVQ leaves (n, k, index) for kernel
-// experiments; ring capacity 1<<20
+// IAMF_LEAF_TAP: record decoded PVQ leaves (n, k, index) plus the
+// alg_unquant reconstruction inputs (gain, spread, B) and, when
+// IAMF_LEAF_TAP=2, the host's post-rotation output vector — the oracle
+// for the device leaf-reconstruction kernel. Ring capacity 1<<20.
 struct LeafTap {
+  static constexpr int CAP = 1 << 20;
+  static constexpr int XCAP = 1 << 18;  // oracle vectors (level 2)
+  static constexpr int XW = 32;
   std::atomic<long long> count{0};
-  int n[1 << 20];
-  int k[1 << 20];
-  uint32_t idx[1 << 20];
+  int n[CAP];
+  int k[CAP];
+  uint32_t idx[CAP];
+  float gain[CAP];
+  unsigned char spread[CAP];
+  unsigned char blocks[CAP];
+  // post-rotation X prefix (level 2 only, first XW values of each of the
+  // first XCAP leaves)
+  float x[XCAP][XW];
 };
 extern LeafTap g_leaf_tap;
+int leaf_tap_level();
 bool leaf_tap_enabled();
 // decode + rotate + normalize. Returns collapse mask.
 unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,

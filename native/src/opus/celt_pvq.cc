@@ -142,10 +142,15 @@ static void cwrsi(int n, int k, uint32_t i, int* y) {
 }
 
 LeafTap g_leaf_tap;
-bool leaf_tap_enabled() {
-  static const bool on = getenv("IAMF_LEAF_TAP") != nullptr;
-  return on;
+int leaf_tap_level() {
+  static const int lv = [] {
+    const char* e = getenv("IAMF_LEAF_TAP");
+    return e ? atoi(e) : 0;
+  }();
+  return lv;
 }
+bool leaf_tap_enabled() { return leaf_tap_level() > 0; }
+static thread_local long long tl_leaf_slot = -1;
 
 void cwrsi_export(int n, int k, uint32_t i, int* y) { cwrsi(n, k, i, y); }
 
@@ -162,7 +167,8 @@ void decode_pulses(int* y, int n, int k, EntDec& dec) {
   if (leaf_tap_enabled()) {
     long long c =
         g_leaf_tap.count.fetch_add(1, std::memory_order_relaxed);
-    if (c < (1 << 20)) {
+    tl_leaf_slot = c;
+    if (c < LeafTap::CAP) {
       g_leaf_tap.n[c] = n;
       g_leaf_tap.k[c] = k;
       g_leaf_tap.idx[c] = i;
@@ -246,6 +252,17 @@ unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
   float g = gain / sqrtf(Ryy);
   for (int j = 0; j < N; ++j) X[j] *= g;
   exp_rotation(X, N, -1, B, K, spread);
+  if (leaf_tap_enabled() && tl_leaf_slot >= 0 &&
+      tl_leaf_slot < LeafTap::CAP) {
+    long long c = tl_leaf_slot;
+    g_leaf_tap.gain[c] = gain;
+    g_leaf_tap.spread[c] = (unsigned char)spread;
+    g_leaf_tap.blocks[c] = (unsigned char)B;
+    if (leaf_tap_level() >= 2 && c < LeafTap::XCAP)
+      for (int j = 0; j < N && j < LeafTap::XW; ++j)
+        g_leaf_tap.x[c][j] = X[j];
+    tl_leaf_slot = -1;
+  }
   return extract_collapse_mask(iy, N, B);
 }
 

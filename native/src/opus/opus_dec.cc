@@ -701,3 +701,37 @@ extern "C" long long iamf_leaf_tap_read(int* n, int* k, uint32_t* idx,
   if (reset) g_leaf_tap.count.store(0, std::memory_order_relaxed);
   return c;
 }
+
+// Extended LeafTap reader (level 2): also copies gain/spread/blocks and
+// the post-rotation X prefixes for the device leaf-reconstruction oracle.
+extern "C" long long iamf_leaf_tap_read2(int* n, int* k, uint32_t* idx,
+                                         float* gain, int* spread,
+                                         int* blocks, float* x,
+                                         long long max_count, int reset) {
+  using iamf_opus::g_leaf_tap;
+  using iamf_opus::LeafTap;
+  long long c = g_leaf_tap.count.load(std::memory_order_relaxed);
+  if (c > LeafTap::CAP) c = LeafTap::CAP;
+  if (c > max_count) c = max_count;
+  for (long long i = 0; i < c; ++i) {
+    n[i] = g_leaf_tap.n[i];
+    k[i] = g_leaf_tap.k[i];
+    idx[i] = g_leaf_tap.idx[i];
+    gain[i] = g_leaf_tap.gain[i];
+    spread[i] = g_leaf_tap.spread[i];
+    blocks[i] = g_leaf_tap.blocks[i];
+    if (i < LeafTap::XCAP)
+      memcpy(x + i * LeafTap::XW, g_leaf_tap.x[i],
+             LeafTap::XW * sizeof(float));
+  }
+  if (reset) g_leaf_tap.count.store(0, std::memory_order_relaxed);
+  return c;
+}
+
+// exp_rotation shim for the device leaf-reconstruction experiment: the
+// host builds each (N,K,spread,B) rotation as a dense matrix by pushing
+// unit vectors through the exact spreading rotation.
+extern "C" void iamf_exp_rotation(float* X, int len, int dir, int stride,
+                                  int K, int spread) {
+  iamf_opus::exp_rotation(X, len, dir, stride, K, spread);
+}

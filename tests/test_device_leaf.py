@@ -1,0 +1,99 @@
+"""Device PVQ leaf reconstruction (device_leaf.py) vs the host decoder.
+
+Stage 2 of the on-device post-range CELT reconstruction: cwrsi pulses ->
+alg_unquant normalization -> exp_rotation, validated against the host's
+post-rotation vectors tapped from a real encoded stream (IAMF_LEAF_TAP=2).
+Matrix-form rotation reorders float ops vs the sequential two-pass
+rotation, so the bar is ~1e-5 relative (the opus path's SNR class), not
+bit-exact like the integer pulse stage."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def _capture_corpus():
+    os.environ["IAMF_LEAF_TAP"] = "2"
+    try:
+        import vectors
+        from iamf_tpu.constants import ChannelLayout
+        from iamf_tpu.core.batch_decoder import (BatchedStreamDecoder,
+                                                 _HostPlan)
+
+        try:
+            stream = vectors.build_opus_layout_stream(
+                ChannelLayout.L510, n_frames=30, frame_size=960, amp=0.5)[0]
+        except Exception as e:
+            pytest.skip(f"opus encoder unavailable: {e}")
+        lib = ctypes.CDLL(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "native", "lib", "libiamf_native.so"))
+        lib.iamf_leaf_tap_read2.restype = ctypes.c_longlong
+        CAP = 1 << 20
+        n = np.zeros(CAP, np.int32)
+        k = np.zeros(CAP, np.int32)
+        idx = np.zeros(CAP, np.uint32)
+        gain = np.zeros(CAP, np.float32)
+        spread = np.zeros(CAP, np.int32)
+        blocks = np.zeros(CAP, np.int32)
+        x = np.zeros((1 << 18, 32), np.float32)
+        ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        up = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        args = (ip(n), ip(k), up(idx), fp(gain), ip(spread), ip(blocks),
+                fp(x))
+        lib.iamf_leaf_tap_read2(*args, ctypes.c_longlong(CAP), 1)
+        d = BatchedStreamDecoder(stream, sound_system=1, batch_frames=8)
+        plan = _HostPlan(d)
+        while plan.next_bufs() is not None:
+            pass
+        plan.close()
+        cnt = int(lib.iamf_leaf_tap_read2(*args, ctypes.c_longlong(CAP), 0))
+        assert cnt > 1000
+        m = min(cnt, 1 << 18)
+        return (n[:m], k[:m], idx[:m], gain[:m], spread[:m], blocks[:m],
+                x[:m])
+    finally:
+        os.environ.pop("IAMF_LEAF_TAP", None)
+
+
+def test_device_leaf_reconstruction_matches_host():
+    from iamf_tpu.codecs.opus import device_leaf as dl
+
+    n, k, idx, gain, spread, blocks, xo = _capture_corpus()
+    X = dl.reconstruct(n, k, idx, gain, spread, blocks)
+    W = 32
+    w = np.minimum(n, W)
+    mask = np.arange(W)[None, :] < w[:, None]
+    a = np.where(mask, xo[:, :W], 0)
+    b = np.where(mask, X[:, :W], 0)
+    d = np.abs(a - b)
+    scale = np.maximum(np.abs(a).max(axis=1, keepdims=True), 1e-3)
+    rel = (d / scale).max()
+    rot = dl.needs_rotation(n, k, spread)
+    assert rot.any() and (~rot).any()  # both paths exercised
+    assert rel < 1e-5, rel
+
+
+def test_rotation_matrix_matches_sequential():
+    """Matrix form vs the native sequential rotation on random vectors."""
+    from iamf_tpu.codecs.opus import device_leaf as dl
+
+    rng = np.random.default_rng(5)
+    lib = dl._native()
+    for (n, k, spread, blocks) in ((44, 4, 1, 1), (18, 5, 2, 1),
+                                   (8, 2, 3, 2), (96, 10, 1, 1)):
+        m = dl.rotation_matrix(n, k, spread, blocks)
+        v = rng.normal(0, 1, n).astype(np.float32)
+        want = v.copy()
+        lib.iamf_exp_rotation(
+            want.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, -1, blocks, k, spread)
+        got = m @ v
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
