@@ -91,3 +91,18 @@ def test_opus_silk_batched_fallback():
     n = min(len(serial), len(out))
     diff = np.abs(serial[:n].astype(np.int64) - out[:n].astype(np.int64))
     assert diff.max() <= 1, f"max {diff.max()}"
+
+
+@pytest.mark.parametrize("bitrate", [32000, 320000])
+def test_opus_bitrate_extremes(tmp_path, bitrate):
+    """Bitrate sweep (round 5): low rates exercise the fold/noise-fill
+    band paths heavily, high rates the deep partition splits and
+    high-K PVQ leaves. Both must hold the e2e SNR bar vs the reference
+    player (measured 84.8 dB across 32-320 kbps)."""
+    stream, _ = vectors.build_opus_layout_stream(
+        ChannelLayout.L510, n_frames=10, bitrate=bitrate)
+    ref = ref_decode(stream, tmp_path, sound_system="1")
+    ours = ours_decode(stream, 1)
+    assert len(ours) == len(ref)
+    s = snr_db(ref, ours)
+    assert s > 60, f"SNR {s:.1f} dB at {bitrate} bps"
