@@ -127,3 +127,60 @@ def reconstruct(n, k, idx, gain, spread, blocks):
             jnp.asarray(bank)))
         X[sel] = out[:, :N_MAX]
     return X
+
+
+# ---- stage 3 mechanism: the noise-fill LCG on device -------------------
+# celt_lcg_rand (celt_energy.cc / libopus celt.h): seed' = 1664525*seed +
+# 1013904223 (mod 2^32). Noise/fold leaves draw N values each, and the
+# draw COUNT depends on device-resident collapse masks, so the seed that
+# reaches a given leaf is device data. Jump-ahead makes it parallel:
+# seed_after_j = A^j * seed + B_j (mod 2^32) with precomputed (A^j, B_j)
+# tables — one u32 multiply-add per (leaf, position) instead of a scan.
+
+LCG_A = np.uint32(1664525)
+LCG_C = np.uint32(1013904223)
+LCG_MAX = 4096  # >= max cumulative draws per frame (<= coded bins, 960)
+
+
+@functools.lru_cache(maxsize=None)
+def lcg_jump_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(A^j, B_j) for j = 0..LCG_MAX, u32: seed_after_j = A^j*seed + B_j."""
+    a = np.empty(LCG_MAX + 1, np.uint32)
+    b = np.empty(LCG_MAX + 1, np.uint32)
+    aj, bj = 1, 0
+    for j in range(LCG_MAX + 1):
+        a[j], b[j] = aj, bj
+        aj = (aj * 1664525) & 0xFFFFFFFF
+        bj = (bj * 1664525 + 1013904223) & 0xFFFFFFFF
+    return a, b
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def lcg_noise_fill(seed0, draws, width: int):
+    """Batched noise-fill draws: for each lane l, produce the LCG values
+    v[l, j] = seed after (prefix_draws[l] + j + 1) steps from seed0[l's
+    frame]... simplified to the per-leaf form used by the band decode:
+    given each leaf's ENTRY seed (already jump-ahead-composed), emit its
+    first `width` draws. seed0: [L] u32 entry seeds; draws: [L] int32
+    actual counts (values beyond are junk); returns [L, width] u32."""
+    a, b = lcg_jump_tables()
+    aj = jnp.asarray(a[1:width + 1])  # draw j uses seed after j+1 steps
+    bj = jnp.asarray(b[1:width + 1])
+    del draws  # static width; callers mask by count
+    return seed0[:, None] * aj[None, :] + bj[None, :]
+
+
+@jax.jit
+def lcg_leaf_entry_seeds(frame_seed, leaf_draws):
+    """Seed threading ACROSS leaves of one frame (the sequential part of
+    stage 3): leaf l's entry seed = frame_seed advanced by the total
+    draws of earlier leaves. leaf_draws: [L] int32 (0 for non-noise
+    leaves); cumulative prefix + jump-ahead gather. Returns [L] u32."""
+    a, b = lcg_jump_tables()
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(leaf_draws.astype(jnp.int32))[:-1]])
+    prefix = jnp.clip(prefix, 0, LCG_MAX)
+    aj = jnp.take(jnp.asarray(a), prefix)
+    bj = jnp.take(jnp.asarray(b), prefix)
+    return frame_seed * aj + bj

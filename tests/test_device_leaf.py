@@ -97,3 +97,37 @@ def test_rotation_matrix_matches_sequential():
             n, -1, blocks, k, spread)
         got = m @ v
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_lcg_jump_ahead_bit_exact():
+    """Stage-3 mechanism: the noise-fill LCG threaded across leaves via
+    prefix jump-ahead (seed_after_j = A^j seed + B_j mod 2^32) must match
+    the host's sequential celt_lcg_rand walk exactly — the draw counts
+    are device data (collapse-mask dependent), so this is the sequential
+    dependency stage 3 removes."""
+    import jax.numpy as jnp
+    from iamf_tpu.codecs.opus import device_leaf as dl
+
+    def host_lcg(seed, n):
+        out, s = [], int(seed)
+        for _ in range(n):
+            s = (1664525 * s + 1013904223) & 0xFFFFFFFF
+            out.append(s)
+        return np.array(out, np.uint32), np.uint32(s)
+
+    rng = np.random.default_rng(9)
+    draws = rng.choice([0, 0, 0, 4, 8, 16, 22, 176], size=40).astype(
+        np.int32)
+    frame_seed = np.uint32(0xDEADBEEF)
+    seed, host_entry, host_vals = frame_seed, [], []
+    for d in draws:
+        host_entry.append(seed)
+        v, seed = host_lcg(seed, int(d))
+        host_vals.append(v)
+    entry = np.asarray(dl.lcg_leaf_entry_seeds(
+        jnp.uint32(frame_seed), jnp.asarray(draws)))
+    np.testing.assert_array_equal(entry, np.array(host_entry, np.uint32))
+    vals = np.asarray(dl.lcg_noise_fill(jnp.asarray(entry),
+                                        jnp.asarray(draws), 176))
+    for i, d in enumerate(draws):
+        np.testing.assert_array_equal(vals[i, :d], host_vals[i])
