@@ -100,18 +100,34 @@ def apply_rotations(X, cfg_idx, bank):
                       preferred_element_type=jnp.float32)
 
 
+def _pad_pow2(m: int, lo: int = 64) -> int:
+    p = lo
+    while p < m:
+        p *= 2
+    return p
+
+
 def reconstruct(n, k, idx, gain, spread, blocks):
     """Full device leaf reconstruction for a batch of real leaves:
     cwrsi -> normalize -> rotation (rotating subset via the matrix bank).
     Returns [L, N_MAX] float32 leaf vectors (host orchestration around
-    the jitted stages; the experiment's correctness entry point)."""
+    the jitted stages; the experiment's correctness entry point). Batch
+    axes pad to power-of-two sizes so repeated calls with ragged leaf
+    counts share compiled programs."""
     n = np.asarray(n, np.int32)
     k = np.asarray(k, np.int32)
+    L = len(n)
+    P = _pad_pow2(L)
+    pn = np.full(P, 2, np.int32)
+    pk = np.ones(P, np.int32)
+    pi = np.zeros(P, np.uint32)
+    pg = np.ones(P, np.float32)
+    pn[:L], pk[:L] = n, k
+    pi[:L] = np.asarray(idx, np.uint32)
+    pg[:L] = np.asarray(gain, np.float32)
     rot = needs_rotation(n, k, spread)
-    y = cwrsi_batch(jnp.asarray(n), jnp.asarray(k),
-                    jnp.asarray(np.asarray(idx, np.uint32)))
-    X = np.array(normalize_pulses(y, jnp.asarray(
-        np.asarray(gain, np.float32))))
+    y = cwrsi_batch(jnp.asarray(pn), jnp.asarray(pk), jnp.asarray(pi))
+    X = np.array(normalize_pulses(y, jnp.asarray(pg)))[:L]
     if rot.any():
         sel = np.flatnonzero(rot)
         cfgs, inv = np.unique(
@@ -119,13 +135,19 @@ def reconstruct(n, k, idx, gain, spread, blocks):
                       np.asarray(blocks)[sel]], axis=1),
             axis=0, return_inverse=True)
         bank = build_rotation_bank([tuple(c) for c in cfgs])
-        Xr = np.zeros((len(sel), ROT_W), np.float32)
-        Xr[:, :N_MAX] = X[sel][:, :ROT_W] if N_MAX >= ROT_W else np.pad(
-            X[sel], [(0, 0), (0, ROT_W - N_MAX)])
+        R = _pad_pow2(len(sel), 16)
+        CB = _pad_pow2(len(cfgs), 8)
+        bank = np.concatenate(
+            [bank, np.tile(np.eye(ROT_W, dtype=np.float32),
+                           (CB - len(cfgs), 1, 1))]) \
+            if CB > len(cfgs) else bank
+        Xr = np.zeros((R, ROT_W), np.float32)
+        Xr[:len(sel), :N_MAX] = X[sel][:, :ROT_W]
+        ci = np.zeros(R, np.int32)
+        ci[:len(sel)] = inv
         out = np.asarray(apply_rotations(
-            jnp.asarray(Xr), jnp.asarray(inv.astype(np.int32)),
-            jnp.asarray(bank)))
-        X[sel] = out[:, :N_MAX]
+            jnp.asarray(Xr), jnp.asarray(ci), jnp.asarray(bank)))
+        X[sel] = out[:len(sel), :N_MAX]
     return X
 
 

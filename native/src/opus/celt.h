@@ -122,6 +122,44 @@ struct LeafTap {
 extern LeafTap g_leaf_tap;
 int leaf_tap_level();
 bool leaf_tap_enabled();
+
+// IAMF_BAND_EMIT: op-table emission for the device band-walk experiment
+// (pass-2 reconstruction). Hooks inside the REAL band decode append
+// typed records describing every reconstruction-relevant event; the
+// device program (or its numpy replay oracle) re-derives the spectrum
+// from these plus the PVQ (n,k,idx) leaves, using no other host floats.
+// Record: 16 x u32/f32 fields, field 0 = op type.
+enum EmitOpType {
+  EMIT_FRAME = 1,   // f1=C f2=LM f3=shortBlocks f4=spread f5=intensity
+                    // f6=dual_stereo f7=seed_in f8=start f9=end
+                    // f10=codedBands
+  EMIT_BAND = 2,    // f1=i f2=offX(=M*eBands[i]-norm_off) f3=N
+                    // f4=B(after recombine/time steps? no: band entry B)
+                    // f5=recombine f6=time_divide(count) f7=longBlocks
+                    // f8=has_lowband f9=effective_lowband f10=fold_start
+                    // f11=fold_end f12=b_bits f13=last f14=ch(0/1/2=couple)
+  EMIT_LEAF = 3,    // f1=off(within band partition domain) f2=n f3=k
+                    // f4=idx f5=gain(f32) f6=B_leaf f7=cm_shift
+                    // f8=ch f9=kind(actual: 0 pvq,1 zero,2 noise,3 fold)
+                    // f10=fill_at_leaf(actual, for cross-check)
+                    // f11=lowband_off(fold: offset within band lowband)
+  EMIT_N1 = 4,      // f1=off f2=val(f32 +-1) f3=ch f4=lowband_out_flag
+  EMIT_THETA = 5,   // f1=itheta f2=imid f3=iside f4=inv f5=stereo
+                    // f6=n f7=off f8=ch
+  EMIT_N2S = 6,     // stereo N==2: f1=off f2=sign f3=c(itheta>8192)
+                    // f4=imid f5=iside
+  EMIT_MERGE = 7,   // stereo_merge: f1=off f2=n f3=imid
+  EMIT_END = 8,     // frame end: f1=seed_out
+  EMIT_BANDCFG = 9  // quant_band entry: f1=recombine f2=time_divide
+                    // f3=longBlocks f4=B0 f5=N_B0 f6=has_lowband f7=N0
+                    // f8=ch f9=has_lowband_out f10=tf_change_in
+};
+struct EmitBuf {
+  static constexpr int CAP = 1 << 18;  // records
+  long long count = 0;                 // single-threaded use (serial mode)
+  uint32_t rec[CAP][16];
+};
+extern thread_local EmitBuf* g_emit;   // null = emission off
 // decode + rotate + normalize. Returns collapse mask.
 unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
                      float gain);

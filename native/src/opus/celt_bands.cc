@@ -12,6 +12,20 @@
 
 namespace iamf_opus {
 
+thread_local EmitBuf* g_emit = nullptr;
+static inline uint32_t* emit_rec(int op) {
+  if (!g_emit || g_emit->count >= EmitBuf::CAP) return nullptr;
+  uint32_t* r = g_emit->rec[g_emit->count++];
+  memset(r, 0, 16 * sizeof(uint32_t));
+  r[0] = (uint32_t)op;
+  return r;
+}
+static inline void emit_f(uint32_t* r, int i, float v) {
+  memcpy(&r[i], &v, 4);
+}
+static thread_local const float* tl_band_base = nullptr;
+static thread_local int tl_emit_ch = 0;
+
 BandStats g_band_stats;
 bool band_stats_enabled() {
   static const bool on = getenv("IAMF_BAND_STATS") != nullptr;
@@ -206,6 +220,11 @@ static unsigned quant_band_n1(BandCtx* ctx, float* X, float* Y,
       ctx->remaining_bits -= 1 << BITRES;
     }
     x[0] = sign ? -1.f : 1.f;
+    if (uint32_t* r = emit_rec(EMIT_N1)) {
+      r[1] = (uint32_t)(int)( (c == 0 ? X : Y) - tl_band_base);
+      emit_f(r, 2, x[0]);
+      r[3] = (uint32_t)(tl_emit_ch + c);
+    }
     x = Y;
   } while (++c < 1 + stereo);
   if (lowband_out) lowband_out[0] = X[0];
@@ -232,6 +251,17 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
     if (band_stats_enabled()) {
       g_band_stats.splits.fetch_add(1, std::memory_order_relaxed);
       g_band_stats.theta_calls.fetch_add(1, std::memory_order_relaxed);
+    }
+    if (uint32_t* r = emit_rec(EMIT_THETA)) {
+      r[1] = (uint32_t)sctx.itheta;
+      r[2] = (uint32_t)sctx.imid;
+      r[3] = (uint32_t)sctx.iside;
+      r[4] = 0;
+      r[5] = 0;
+      r[6] = (uint32_t)N;
+      r[7] = (uint32_t)(int)(X - tl_band_base);
+      r[8] = (uint32_t)tl_emit_ch;
+      r[9] = (uint32_t)fill;
     }
     int imid = sctx.imid, iside = sctx.iside;
     int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
@@ -279,6 +309,23 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
       q--;
       curr_bits = pulses2bits(i, LM, q);
       ctx->remaining_bits -= curr_bits;
+    }
+    if (uint32_t* r = emit_rec(EMIT_LEAF)) {
+      r[1] = (uint32_t)(int)(X - tl_band_base);
+      r[2] = (uint32_t)N;
+      r[3] = (uint32_t)(q != 0 ? get_pulses(q) : 0);
+      emit_f(r, 5, gain);
+      r[6] = (uint32_t)B;
+      r[8] = (uint32_t)tl_emit_ch;
+      int kind = 0;
+      if (q == 0) {
+        unsigned cmk = (unsigned)(1 << B) - 1;
+        int f2 = fill & (int)cmk;
+        kind = !f2 ? 1 : (lowband == nullptr ? 2 : 3);
+      }
+      r[9] = (uint32_t)kind;
+      r[10] = (uint32_t)(unsigned)fill;
+      r[12] = ctx->seed;
     }
     if (q != 0) {
       int K = get_pulses(q);
@@ -345,9 +392,13 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
   int longBlocks = B0 == 1;
   unsigned cm = 0;
 
-  if (N == 1) return quant_band_n1(ctx, X, nullptr, lowband_out);
+  if (N == 1) {
+    if (g_emit) tl_band_base = X;
+    return quant_band_n1(ctx, X, nullptr, lowband_out);
+  }
 
   int tf_change = ctx->tf_change;
+  const int tf_change_in = tf_change;
   if (tf_change > 0) recombine = tf_change;
   if (lowband_scratch && lowband &&
       (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
@@ -372,6 +423,19 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
   }
   B0 = B;
   N_B0 = N_B;
+  if (g_emit) tl_band_base = X;
+  if (uint32_t* r = emit_rec(EMIT_BANDCFG)) {
+    r[1] = (uint32_t)recombine;
+    r[2] = (uint32_t)time_divide;
+    r[3] = (uint32_t)longBlocks;
+    r[4] = (uint32_t)B0;
+    r[5] = (uint32_t)N_B0;
+    r[6] = (uint32_t)(lowband != nullptr);
+    r[7] = (uint32_t)N0;
+    r[8] = (uint32_t)tl_emit_ch;
+    r[9] = (uint32_t)(lowband_out != nullptr);
+    r[10] = (uint32_t)tf_change_in;
+  }
 
   if (B0 > 1 && lowband)
     deinterleave_hadamard(lowband, N_B >> recombine, B0 << recombine,
@@ -410,13 +474,27 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
                                   int fill) {
   unsigned cm = 0;
   EntDec& ec = *ctx->ec;
-  if (N == 1) return quant_band_n1(ctx, X, Y, lowband_out);
+  if (N == 1) {
+    if (g_emit) tl_band_base = X;
+    return quant_band_n1(ctx, X, Y, lowband_out);
+  }
 
   int orig_fill = fill;
   if (band_stats_enabled())
     g_band_stats.stereo_bands.fetch_add(1, std::memory_order_relaxed);
   SplitCtx sctx;
   compute_theta(ctx, &sctx, X, Y, N, &b, B, B, LM, 1, &fill);
+  if (uint32_t* r = emit_rec(EMIT_THETA)) {
+    r[1] = (uint32_t)sctx.itheta;
+    r[2] = (uint32_t)sctx.imid;
+    r[3] = (uint32_t)sctx.iside;
+    r[4] = (uint32_t)sctx.inv;
+    r[5] = 1;
+    r[6] = (uint32_t)N;
+    r[7] = 0;
+    r[8] = 0;
+    r[9] = (uint32_t)fill;
+  }
   int inv = sctx.inv;
   int imid = sctx.imid, iside = sctx.iside;
   int delta = sctx.delta, itheta = sctx.itheta, qalloc = sctx.qalloc;
@@ -436,6 +514,13 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
     int sign = 0;
     if (sbits) sign = (int)ec.bits(1);
     sign = 1 - 2 * sign;
+    if (uint32_t* r = emit_rec(EMIT_N2S)) {
+      r[1] = (uint32_t)sign;
+      r[2] = (uint32_t)c;
+      r[3] = (uint32_t)imid;
+      r[4] = (uint32_t)iside;
+    }
+    if (g_emit) tl_emit_ch = c ? 1 : 0;
     cm = quant_band(ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.f,
                     lowband_scratch, orig_fill);
     y2[0] = -(float)sign * x2[1];
@@ -456,23 +541,34 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
     ctx->remaining_bits -= qalloc;
     int32_t rebalance = ctx->remaining_bits;
     if (mbits >= sbits) {
+      if (g_emit) tl_emit_ch = 0;
       cm = quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.f,
                       lowband_scratch, fill);
       rebalance = mbits - (rebalance - ctx->remaining_bits);
       if (rebalance > 3 << BITRES && itheta != 0)
         sbits += rebalance - (3 << BITRES);
+      if (g_emit) tl_emit_ch = 1;
       cm |= quant_band(ctx, Y, N, sbits, B, nullptr, LM, nullptr, side,
                        nullptr, fill >> B);
     } else {
+      if (g_emit) tl_emit_ch = 1;
       cm = quant_band(ctx, Y, N, sbits, B, nullptr, LM, nullptr, side, nullptr,
                       fill >> B);
       rebalance = sbits - (rebalance - ctx->remaining_bits);
       if (rebalance > 3 << BITRES && itheta != 16384)
         mbits += rebalance - (3 << BITRES);
+      if (g_emit) tl_emit_ch = 0;
       cm |= quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.f,
                        lowband_scratch, fill);
     }
     if (N != 2) stereo_merge(X, Y, mid, N);
+    if (N != 2)
+      if (uint32_t* r = emit_rec(EMIT_MERGE)) {
+        r[1] = 0;
+        r[2] = (uint32_t)N;
+        r[3] = (uint32_t)sctx.imid;
+        r[4] = (uint32_t)inv;
+      }
   }
   if (N == 2) {
     // handled above (already resynthesized)
@@ -513,6 +609,20 @@ void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
   if (band_stats_enabled()) {
     g_band_stats.frames.fetch_add(1, std::memory_order_relaxed);
     tl_frame_leaves = 0;
+  }
+  if (uint32_t* r = emit_rec(EMIT_FRAME)) {
+    r[1] = (uint32_t)C;
+    r[2] = (uint32_t)LM;
+    r[3] = (uint32_t)(shortBlocks ? 1 : 0);
+    r[4] = (uint32_t)spread;
+    r[5] = (uint32_t)intensity;
+    r[6] = (uint32_t)dual_stereo;
+    r[7] = *seed;
+    r[8] = (uint32_t)start;
+    r[9] = (uint32_t)end;
+    r[10] = (uint32_t)codedBands;
+    r[11] = (uint32_t)norm_offset;
+    r[12] = (uint32_t)M;
   }
   for (int i = start; i < end; ++i) {
     ctx.i = i;
@@ -566,20 +676,47 @@ void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
       effective_lowband_ptr2 = norm2 + effective_lowband;
     }
 
+    int emit_avg = 0;
     if (dual_stereo && i == intensity) {
       dual_stereo = 0;
+      emit_avg = 1;
       for (int j = 0; j < M * eBands[i] - norm_offset; ++j)
         norm[j] = 0.5f * (norm[j] + norm2[j]);
     }
+    if (uint32_t* r = emit_rec(EMIT_BAND)) {
+      int eff = effective_lowband_ptr
+                    ? (int)(effective_lowband_ptr - norm)
+                    : -1;
+      r[1] = (uint32_t)i;
+      r[2] = (uint32_t)(M * eBands[i] - norm_offset);
+      r[3] = (uint32_t)N;
+      r[4] = (uint32_t)B;
+      r[5] = (uint32_t)(effective_lowband_ptr != nullptr);
+      r[6] = (uint32_t)eff;
+      r[7] = (uint32_t)b;
+      r[8] = (uint32_t)last;
+      r[9] = (uint32_t)dual_stereo;
+      r[10] = (uint32_t)x_cm;
+      r[11] = (uint32_t)y_cm;
+      r[12] = (uint32_t)emit_avg;
+      r[13] = (uint32_t)tf_change;
+      r[14] = (uint32_t)lowband_offset;
+      r[15] = ctx.seed;
+    }
 
     if (dual_stereo) {
+      if (g_emit) tl_emit_ch = 0;
       x_cm = quant_band(&ctx, X, N, b / 2, B, effective_lowband_ptr, LM,
                         last ? nullptr : norm + M * eBands[i] - norm_offset,
                         1.f, lowband_scratch, (int)x_cm);
+      {
+        if (g_emit) tl_emit_ch = 1;
+      }
       y_cm = quant_band(&ctx, Y, N, b / 2, B, effective_lowband_ptr2, LM,
                         last ? nullptr : norm2 + M * eBands[i] - norm_offset,
                         1.f, lowband_scratch, (int)y_cm);
     } else {
+      if (g_emit) tl_emit_ch = 0;
       if (Y) {
         x_cm = quant_band_stereo(
             &ctx, X, Y, N, b, B, effective_lowband_ptr, LM,
@@ -597,6 +734,7 @@ void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
     balance += pulses[i] + tell;
     update_lowband = b > (N << BITRES);
   }
+  if (uint32_t* r = emit_rec(EMIT_END)) r[1] = ctx.seed;
   *seed = ctx.seed;
   if (band_stats_enabled()) {
     long long cur = g_band_stats.max_leaves_frame.load(

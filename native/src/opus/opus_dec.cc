@@ -735,3 +735,32 @@ extern "C" void iamf_exp_rotation(float* X, int len, int dir, int stride,
                                   int K, int spread) {
   iamf_opus::exp_rotation(X, len, dir, stride, K, spread);
 }
+
+// Band-emit control for the device band-walk experiment: enable installs
+// a per-thread EmitBuf (serial decode only); read copies `count` records
+// of 16 u32 fields and optionally resets.
+static thread_local iamf_opus::EmitBuf* t_emit_owned = nullptr;
+extern "C" void iamf_band_emit_enable(int on) {
+  using iamf_opus::g_emit;
+  if (on) {
+    if (!t_emit_owned) t_emit_owned = new iamf_opus::EmitBuf();
+    t_emit_owned->count = 0;
+    g_emit = t_emit_owned;
+  } else {
+    g_emit = nullptr;
+  }
+}
+extern "C" long long iamf_band_emit_read(uint32_t* out, long long max_recs,
+                                         int reset) {
+  if (!t_emit_owned) return 0;
+  long long c = t_emit_owned->count;
+  if (c > max_recs) c = max_recs;
+  memcpy(out, t_emit_owned->rec, (size_t)c * 16 * sizeof(uint32_t));
+  if (reset) t_emit_owned->count = 0;
+  return c;
+}
+
+// Band-tap accessor for the replay harness (g_band_tap lives in
+// celt_decoder.cc; test_shim.cc exposes the same pointer for the shim
+// builds — this one serves the main library).
+extern "C" void* iamf_band_tap_ptr() { return &iamf_opus::g_band_tap; }

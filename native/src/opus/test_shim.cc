@@ -88,9 +88,7 @@ void iamf_mdct_backward(const float* in, float* out, int N, int stride,
 
 extern "C" {
 void iamf_haar1(float* X, int N0, int stride) { iamf_opus::haar1(X, N0, stride); }
-void iamf_exp_rotation(float* X, int len, int dir, int stride, int K, int spread) {
-  iamf_opus::exp_rotation(X, len, dir, stride, K, spread);
-}
+// iamf_exp_rotation lives in opus_dec.cc (shared with the main lib)
 void iamf_decode_pulses(void* ec, int* y, int N, int K) {
   iamf_opus::decode_pulses(y, N, K, *(EntDec*)ec);
 }
