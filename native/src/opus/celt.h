@@ -121,6 +121,7 @@ struct LeafTap {
 };
 extern LeafTap g_leaf_tap;
 int leaf_tap_level();
+void leaf_tap_set(int lv);
 bool leaf_tap_enabled();
 
 // IAMF_BAND_EMIT: op-table emission for the device band-walk experiment

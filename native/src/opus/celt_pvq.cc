@@ -142,12 +142,18 @@ static void cwrsi(int n, int k, uint32_t i, int* y) {
 }
 
 LeafTap g_leaf_tap;
+// mutable tap level: env var provides the initial value; tests toggle it
+// per-run via iamf_leaf_tap_set (a cached env read broke cross-test
+// toggling in one process)
+static std::atomic<int> g_leaf_tap_level{[] {
+  const char* e = getenv("IAMF_LEAF_TAP");
+  return e ? atoi(e) : 0;
+}()};
+void leaf_tap_set(int lv) {
+  g_leaf_tap_level.store(lv, std::memory_order_relaxed);
+}
 int leaf_tap_level() {
-  static const int lv = [] {
-    const char* e = getenv("IAMF_LEAF_TAP");
-    return e ? atoi(e) : 0;
-  }();
-  return lv;
+  return g_leaf_tap_level.load(std::memory_order_relaxed);
 }
 bool leaf_tap_enabled() { return leaf_tap_level() > 0; }
 static thread_local long long tl_leaf_slot = -1;

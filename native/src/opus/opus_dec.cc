@@ -764,3 +764,7 @@ extern "C" long long iamf_band_emit_read(uint32_t* out, long long max_recs,
 // celt_decoder.cc; test_shim.cc exposes the same pointer for the shim
 // builds — this one serves the main library).
 extern "C" void* iamf_band_tap_ptr() { return &iamf_opus::g_band_tap; }
+
+extern "C" void iamf_leaf_tap_set(int level) {
+  iamf_opus::leaf_tap_set(level);
+}

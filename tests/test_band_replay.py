@@ -95,9 +95,9 @@ def _leaf_read(lib):
 def _replay_packets(packets, channels):
     """Decode packets one by one; replay every frame vs its tap. Returns
     (frames_checked, max_rel_err, cross_checks)."""
-    os.environ["IAMF_LEAF_TAP"] = "1"
     os.environ["IAMF_BAND_TAP"] = "1"
     lib = _lib()
+    lib.iamf_leaf_tap_set(1)
     try:
         dec = lib.iamf_opus_decoder_create(channels)
         tapp = lib.iamf_band_tap_ptr()
@@ -145,7 +145,7 @@ def _replay_packets(packets, channels):
         return frames, max_rel, checks
     finally:
         lib.iamf_band_emit_enable(0)
-        os.environ.pop("IAMF_LEAF_TAP", None)
+        lib.iamf_leaf_tap_set(0)
         os.environ.pop("IAMF_BAND_TAP", None)
 
 

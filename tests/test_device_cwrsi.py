@@ -73,7 +73,10 @@ def test_cwrsi_real_stream_leaves():
     import ctypes
     import os
 
-    os.environ["IAMF_LEAF_TAP"] = "1"
+    lib0 = ctypes.CDLL(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "lib", "libiamf_native.so"))
+    lib0.iamf_leaf_tap_set(1)
     try:
         import vectors
         from iamf_tpu.constants import ChannelLayout
@@ -107,4 +110,4 @@ def test_cwrsi_real_stream_leaves():
         assert cnt > 1000
         _check(n[:cnt], k[:cnt], idx[:cnt])
     finally:
-        os.environ.pop("IAMF_LEAF_TAP", None)
+        lib0.iamf_leaf_tap_set(0)

@@ -19,7 +19,10 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def _capture_corpus():
-    os.environ["IAMF_LEAF_TAP"] = "2"
+    lib0 = ctypes.CDLL(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "lib", "libiamf_native.so"))
+    lib0.iamf_leaf_tap_set(2)
     try:
         import vectors
         from iamf_tpu.constants import ChannelLayout
@@ -60,7 +63,7 @@ def _capture_corpus():
         return (n[:m], k[:m], idx[:m], gain[:m], spread[:m], blocks[:m],
                 x[:m])
     finally:
-        os.environ.pop("IAMF_LEAF_TAP", None)
+        lib0.iamf_leaf_tap_set(0)
 
 
 def test_device_leaf_reconstruction_matches_host():
