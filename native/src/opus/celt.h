@@ -78,6 +78,11 @@ void tf_decode(int start, int end, int isTransient, int* tf_res, int LM,
                EntDec& dec);
 
 uint32_t celt_lcg_rand(uint32_t seed);
+// IAMF_SKIP_RECON=1: pass-1 mode — run every range-decoder read but
+// defer the float reconstruction (the device band-walk's host half);
+// outputs are garbage by design, only the ec state and op emission
+// matter (see band_replay.py)
+bool skip_recon();
 
 void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
                             unsigned char* collapse_masks, const int* pulses,

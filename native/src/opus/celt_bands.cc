@@ -345,6 +345,8 @@ static unsigned quant_partition(BandCtx* ctx, float* X, int N, int b, int B,
           g_band_stats.zero_bins.fetch_add(N, std::memory_order_relaxed);
           tl_frame_leaves++;
         }
+      } else if (skip_recon()) {
+        cm = cm_mask;  // pass-1: noise/fold values + seed walk deferred
       } else {
         if (lowband == nullptr) {
           for (int j = 0; j < N; ++j) {
@@ -399,6 +401,8 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
 
   int tf_change = ctx->tf_change;
   const int tf_change_in = tf_change;
+  const bool skipf = skip_recon();
+  if (skipf) lowband_scratch = nullptr;
   if (tf_change > 0) recombine = tf_change;
   if (lowband_scratch && lowband &&
       (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
@@ -406,7 +410,7 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
     lowband = lowband_scratch;
   }
   for (int k = 0; k < recombine; ++k) {
-    if (lowband) haar1(lowband, N >> k, 1 << k);
+    if (lowband && !skipf) haar1(lowband, N >> k, 1 << k);
     fill = bit_interleave_table[fill & 0xF] |
            bit_interleave_table[fill >> 4] << 2;
   }
@@ -414,7 +418,7 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
   N_B <<= recombine;
 
   while ((N_B & 1) == 0 && tf_change < 0) {
-    if (lowband) haar1(lowband, N_B, B);
+    if (lowband && !skipf) haar1(lowband, N_B, B);
     fill |= fill << B;
     B <<= 1;
     N_B >>= 1;
@@ -437,13 +441,13 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
     r[10] = (uint32_t)tf_change_in;
   }
 
-  if (B0 > 1 && lowband)
+  if (B0 > 1 && lowband && !skipf)
     deinterleave_hadamard(lowband, N_B >> recombine, B0 << recombine,
                           longBlocks);
 
   cm = quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill);
 
-  if (B0 > 1)
+  if (B0 > 1 && !skipf)
     interleave_hadamard(X, N_B >> recombine, B0 << recombine, longBlocks);
 
   N_B = N_B0;
@@ -452,15 +456,15 @@ static unsigned quant_band(BandCtx* ctx, float* X, int N, int b, int B,
     B >>= 1;
     N_B <<= 1;
     cm |= cm >> B;
-    haar1(X, N_B, B);
+    if (!skipf) haar1(X, N_B, B);
   }
   for (int k = 0; k < recombine; ++k) {
     cm = bit_deinterleave_table[cm];
-    haar1(X, N0 >> k, 1 << k);
+    if (!skipf) haar1(X, N0 >> k, 1 << k);
   }
   B <<= recombine;
 
-  if (lowband_out) {
+  if (lowband_out && !skipf) {
     float n = sqrtf((float)N0);
     for (int j = 0; j < N0; ++j) lowband_out[j] = n * X[j];
   }
@@ -523,6 +527,7 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
     if (g_emit) tl_emit_ch = c ? 1 : 0;
     cm = quant_band(ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.f,
                     lowband_scratch, orig_fill);
+    if (!skip_recon()) {
     y2[0] = -(float)sign * x2[1];
     y2[1] = (float)sign * x2[0];
     X[0] = mid * X[0];
@@ -535,6 +540,7 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
     tmp = X[1];
     X[1] = tmp - Y[1];
     Y[1] = tmp + Y[1];
+    }
   } else {
     int mbits = imax(0, imin(b, (b - delta) / 2));
     int sbits = b - mbits;
@@ -561,7 +567,7 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
       cm |= quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.f,
                        lowband_scratch, fill);
     }
-    if (N != 2) stereo_merge(X, Y, mid, N);
+    if (N != 2 && !skip_recon()) stereo_merge(X, Y, mid, N);
     if (N != 2)
       if (uint32_t* r = emit_rec(EMIT_MERGE)) {
         r[1] = 0;
@@ -573,7 +579,7 @@ static unsigned quant_band_stereo(BandCtx* ctx, float* X, float* Y, int N,
   if (N == 2) {
     // handled above (already resynthesized)
   }
-  if (inv) {
+  if (inv && !skip_recon()) {
     for (int j = 0; j < N; ++j) Y[j] = -Y[j];
   }
   return cm;
@@ -680,8 +686,9 @@ void quant_all_bands_decode(int start, int end, float* X_, float* Y_,
     if (dual_stereo && i == intensity) {
       dual_stereo = 0;
       emit_avg = 1;
-      for (int j = 0; j < M * eBands[i] - norm_offset; ++j)
-        norm[j] = 0.5f * (norm[j] + norm2[j]);
+      if (!skip_recon())
+        for (int j = 0; j < M * eBands[i] - norm_offset; ++j)
+          norm[j] = 0.5f * (norm[j] + norm2[j]);
     }
     if (uint32_t* r = emit_rec(EMIT_BAND)) {
       int eff = effective_lowband_ptr

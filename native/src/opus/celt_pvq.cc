@@ -180,6 +180,12 @@ void decode_pulses(int* y, int n, int k, EntDec& dec) {
       g_leaf_tap.idx[c] = i;
     }
   }
+  if (skip_recon()) {
+    // pass-1: only the range-decoder read is entropy-coupled; the
+    // index -> pulse walk defers to the device (device_cwrsi.py)
+    memset(y, 0, (size_t)n * sizeof(int));
+    return;
+  }
   cwrsi(n, k, i, y);
 }
 
@@ -246,10 +252,16 @@ void renormalise_vector(float* X, int N, float gain) {
   for (int i = 0; i < N; ++i) X[i] *= g;
 }
 
+bool skip_recon() {
+  static const bool on = getenv("IAMF_SKIP_RECON") != nullptr;
+  return on;
+}
+
 unsigned alg_unquant(float* X, int N, int K, int spread, int B, EntDec& dec,
                      float gain) {
   int iy[256];
   decode_pulses(iy, N, K, dec);
+  if (skip_recon()) return 1;  // pass-1: pulses decoded, floats deferred
   float Ryy = 0;
   for (int j = 0; j < N; ++j) {
     X[j] = (float)iy[j];  // one pass: int->float convert + energy

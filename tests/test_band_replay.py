@@ -218,3 +218,59 @@ def test_band_replay_real_iamf_stream():
         f, rel, checks = _replay_packets(frames[sid], ch)
         total_frames += f
     assert total_frames >= 12 * len(el.substream_ids) - 2
+
+
+def test_pass1_skip_recon_ec_alignment():
+    """IAMF_SKIP_RECON (pass-1 mode: every range-decoder read runs, all
+    float reconstruction deferred) must consume EXACTLY the same bits:
+    the emitted op streams agree on every entropy-derived field; only the
+    reconstruction-dependent cross-check fields (leaf kind/fill/seed,
+    band cms, final seed, theta fill) may differ."""
+    import subprocess
+    import sys
+
+    code = """
+import sys, ctypes, os, numpy as np
+sys.path[:0] = ["/root/repo", "/root/repo/tests"]
+import jax; jax.config.update("jax_platforms", "cpu")
+from test_band_replay import _lib, _encode
+lib = _lib()
+pkts = _encode(2, seed=17, n_frames=12, bitrate=96000)
+dec = lib.iamf_opus_decoder_create(2)
+lib.iamf_band_emit_enable(1)
+out = np.zeros(2*2880, np.float32)
+emit = np.zeros((1<<16, 16), np.uint32)
+rows = []
+for pkt in pkts:
+    lib.iamf_band_emit_read(emit.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint32)), ctypes.c_longlong(1<<16), 1)
+    r = lib.iamf_opus_decode_float(dec, bytes(pkt), len(pkt),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 2880)
+    assert r > 0
+    c = int(lib.iamf_band_emit_read(emit.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint32)), ctypes.c_longlong(1<<16), 1))
+    rows.append(emit[:c].copy())
+np.save(sys.argv[1], np.concatenate(rows))
+"""
+    outs = {}
+    for skip in (False, True):
+        env = dict(os.environ)
+        env.pop("IAMF_SKIP_RECON", None)
+        if skip:
+            env["IAMF_SKIP_RECON"] = "1"
+        path = f"/tmp/iamf_ec_align_{int(skip)}.npy"
+        try:
+            subprocess.run([sys.executable, "-c", code, path], env=env,
+                           check=True, timeout=300, capture_output=True)
+        except subprocess.CalledProcessError as e:
+            pytest.skip(f"encoder unavailable: {e.stderr[-200:]}")
+        outs[skip] = np.load(path)
+    full, sk = outs[False], outs[True]
+    assert full.shape == sk.shape
+    allowed = {3: {9, 10, 12}, 2: {10, 11, 15}, 8: {1}, 5: {9}}
+    for op in range(1, 10):
+        m = full[:, 0] == op
+        for f in range(1, 16):
+            if not np.array_equal(full[m, f], sk[m, f]):
+                assert f in allowed.get(op, set()), (
+                    f"EC misalignment: op {op} field {f}")
