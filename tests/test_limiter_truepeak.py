@@ -237,3 +237,52 @@ def test_truepeak_cross_block_history_carry():
     y2 = np.concatenate(outs, axis=1)
     n = min(y1.shape[1], y2.shape[1])
     np.testing.assert_allclose(y1[:, :n], y2[:, :n], atol=2e-7)
+
+
+def test_truepeak_batched_vs_serial_decode():
+    """IAMF_TRUEPEAK=1 end-to-end: the batched decoder's fused limiter
+    (pipeline._limiter_block + the pre-branch meter) must match the
+    serial api decoder bit-exactly on content with inter-sample peaks."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import vectors
+    from iamf_tpu.api import IAMFDecoder
+    from iamf_tpu.constants import ChannelLayout
+    from iamf_tpu.core.batch_decoder import BatchedStreamDecoder
+
+    # fs/4 tone at 45 deg: true peaks exceed sample peaks (isp_tone class)
+    t = np.arange(8 * 960)
+    tone = 0.985 * np.sin(2 * np.pi * 12000.0 / 48000.0 * t + np.pi / 4)
+    pcm = np.clip(np.stack([tone, 0.8 * tone], 1) * 32767, -32768,
+                  32767).astype(np.int16)
+    stream, _ = vectors.build_pcm_layout_stream(
+        ChannelLayout.STEREO, n_frames=8, pcm_override=pcm)
+    os.environ["IAMF_TRUEPEAK"] = "1"
+    try:
+        dec = IAMFDecoder()
+        dec.set_sound_system(0)
+        pos = dec.configure(stream)
+        chunks = []
+        while pos < len(stream):
+            consumed, out = dec.decode(stream[pos:])
+            if consumed == 0 and out is None:
+                break
+            pos += consumed
+            if out is not None and len(out):
+                chunks.append(out)
+        _, out = dec.decode(None)
+        if out is not None and len(out):
+            chunks.append(out)
+        serial = np.concatenate(chunks, axis=0)
+        batched = BatchedStreamDecoder(stream, sound_system=0,
+                                       batch_frames=4).decode_all()
+    finally:
+        os.environ.pop("IAMF_TRUEPEAK", None)
+    n = min(len(serial), len(batched))
+    d = np.abs(serial[:n].astype(np.int64) - batched[:n].astype(np.int64))
+    assert d.max() <= 1, d.max()
+    # and the limiter actually engaged (true peaks above -1 dBTP)
+    ref = BatchedStreamDecoder(stream, sound_system=0,
+                               batch_frames=4).decode_all()
+    assert np.abs(ref[:n].astype(np.int64) -
+                  batched[:n].astype(np.int64)).max() > 50
