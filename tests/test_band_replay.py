@@ -274,3 +274,107 @@ np.save(sys.argv[1], np.concatenate(rows))
             if not np.array_equal(full[m, f], sk[m, f]):
                 assert f in allowed.get(op, set()), (
                     f"EC misalignment: op {op} field {f}")
+
+
+def _packed_replay_packets(packets, channels):
+    """Like _replay_packets but through band_pack: records -> flat packed
+    tensors (bit-matrix fill maps, cm shifts, per-band params) -> packed
+    executor. Proves the tree semantics FLATTEN to fixed-shape inputs."""
+    from iamf_tpu.codecs.opus import band_pack
+
+    os.environ["IAMF_BAND_TAP"] = "1"
+    lib = _lib()
+    lib.iamf_leaf_tap_set(1)
+    try:
+        dec = lib.iamf_opus_decoder_create(channels)
+        tapp = lib.iamf_band_tap_ptr()
+        lib.iamf_band_emit_enable(1)
+        out = np.zeros(2 * 2880, np.float32)
+        emit = np.zeros((1 << 16, 16), np.uint32)
+        _leaf_read(lib)
+        frames = 0
+        for pkt in packets:
+            lib.iamf_band_emit_read(
+                emit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_longlong(1 << 16), 1)
+            _leaf_read(lib)
+            r = lib.iamf_opus_decode_float(
+                dec, bytes(pkt), len(pkt),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 2880)
+            assert r > 0, r
+            cnt = int(lib.iamf_band_emit_read(
+                emit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_longlong(1 << 16), 1))
+            if cnt == 0:
+                continue
+            n, k, idx, gain, spread, blocks = _leaf_read(lib)
+            leaf_X = dl.reconstruct(n, k, idx, gain, spread, blocks)
+            vecs = [leaf_X[j] for j in range(len(n))]
+            tap = tapp.contents
+            pf = band_pack.pack_frame(emit[:cnt])
+            spec = band_pack.packed_replay_frame(pf, vecs)
+            M = 1 << tap.LM
+            nb = int(M * band_replay.EBANDS[21])
+            want = np.ctypeslib.as_array(tap.X)[: tap.C * nb].reshape(
+                tap.C, nb)
+            scale = max(np.abs(want).max(), 1e-3)
+            rel = np.abs(spec - want).max() / scale
+            assert rel < 2e-5, (
+                f"frame {frames}: rel err {rel:.2e} "
+                f"(C={tap.C} LM={tap.LM} transient={tap.shortBlocks})")
+            frames += 1
+        return frames
+    finally:
+        lib.iamf_band_emit_enable(0)
+        lib.iamf_leaf_tap_set(0)
+        os.environ.pop("IAMF_BAND_TAP", None)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_packed_replay_matches_decoder(channels):
+    try:
+        pkts = _encode(channels, seed=5)
+    except Exception as e:
+        pytest.skip(f"opus encoder unavailable: {e}")
+    frames = _packed_replay_packets(pkts, channels)
+    assert frames >= 20
+
+
+@pytest.mark.parametrize("bitrate", [24000, 256000])
+def test_packed_replay_bitrate_extremes(bitrate):
+    try:
+        pkts = _encode(2, seed=13, n_frames=20, bitrate=bitrate)
+    except Exception as e:
+        pytest.skip(f"opus encoder unavailable: {e}")
+    frames = _packed_replay_packets(pkts, 2)
+    assert frames >= 15
+
+
+def test_packed_replay_real_iamf_stream():
+    """Flattened-representation sufficiency on the bench content itself."""
+    import vectors
+    from iamf_tpu.constants import ChannelLayout
+    from iamf_tpu.obu import parser
+
+    try:
+        stream = vectors.build_opus_layout_stream(
+            ChannelLayout.L510, n_frames=10, frame_size=960, amp=0.4)[0]
+    except Exception as e:
+        pytest.skip(f"opus encoder unavailable: {e}")
+    body = stream[parser.find_sequence_header(stream):]
+    recs = parser.split_records(body)
+    frames = {}
+    el = None
+    for i in range(len(recs)):
+        if recs[i, 7] >= 0:
+            frames.setdefault(int(recs[i, 7]), []).append(
+                bytes(body[recs[i, 3]:recs[i, 3] + recs[i, 4]]))
+        elif recs[i, 0] == 1:
+            el = parser.parse_audio_element(parser.split_obu(
+                body, int(recs[i, 2])))
+    coupled = el.channels_config.layers[0].nb_coupled_substreams
+    total = 0
+    for si, sid in enumerate(el.substream_ids):
+        ch = 2 if si < coupled else 1
+        total += _packed_replay_packets(frames[sid], ch)
+    assert total >= 10 * len(el.substream_ids) - 2
