@@ -378,3 +378,73 @@ def test_packed_replay_real_iamf_stream():
         ch = 2 if si < coupled else 1
         total += _packed_replay_packets(frames[sid], ch)
     assert total >= 10 * len(el.substream_ids) - 2
+
+
+@pytest.mark.skipif(not os.environ.get("IAMF_SLOW_TESTS"),
+                    reason="~9 min XLA compile of the 21x16 unrolled "
+                           "program; run with IAMF_SLOW_TESTS=1 "
+                           "(validated in round 5 — see TRACE.md)")
+def test_jit_band_walk_long_mono_frames():
+    """The jitted device band-walk (device_bands.run_frame) on the
+    long-block mono frame class: consumes ONLY the packed tensors and
+    must match the decoder's tap frame-exact (same bar as the replays),
+    with the device-threaded LCG seed landing exactly on the emitted
+    end-of-frame value. Transient frames in the same stream are skipped
+    by the packable() gate — they take the numpy executor path."""
+    from iamf_tpu.codecs.opus import band_pack, device_bands
+
+    try:
+        pkts = _encode(1, seed=21, n_frames=30, bitrate=48000)
+    except Exception as e:
+        pytest.skip(f"opus encoder unavailable: {e}")
+    os.environ["IAMF_BAND_TAP"] = "1"
+    lib = _lib()
+    lib.iamf_leaf_tap_set(1)
+    try:
+        dec = lib.iamf_opus_decoder_create(1)
+        tapp = lib.iamf_band_tap_ptr()
+        lib.iamf_band_emit_enable(1)
+        out = np.zeros(2 * 2880, np.float32)
+        emit = np.zeros((1 << 16, 16), np.uint32)
+        _leaf_read(lib)
+        jit_frames = skipped = 0
+        for pkt in pkts:
+            lib.iamf_band_emit_read(
+                emit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_longlong(1 << 16), 1)
+            _leaf_read(lib)
+            r = lib.iamf_opus_decode_float(
+                dec, bytes(pkt), len(pkt),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 2880)
+            assert r > 0
+            cnt = int(lib.iamf_band_emit_read(
+                emit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_longlong(1 << 16), 1))
+            if cnt == 0:
+                continue
+            n, k, idx, gain, spread, blocks = _leaf_read(lib)
+            leaf_X = dl.reconstruct(n, k, idx, gain, spread, blocks)
+            vecs = [leaf_X[j] for j in range(len(n))]
+            pf = band_pack.pack_frame(emit[:cnt])
+            if not device_bands.packable(pf):
+                skipped += 1
+                continue
+            bt, lt = device_bands.pack_tensors(pf, vecs)
+            spec, seed_out, _ = device_bands.run_frame(bt, lt, pf.seed0)
+            spec = np.asarray(spec)[None, :]
+            tap = tapp.contents
+            nb = int((1 << tap.LM) * band_replay.EBANDS[21])
+            want = np.ctypeslib.as_array(tap.X)[:nb].reshape(1, nb)
+            scale = max(np.abs(want).max(), 1e-3)
+            rel = np.abs(spec - want).max() / scale
+            assert rel < 2e-5, f"jit frame {jit_frames}: rel {rel:.2e}"
+            # the device-threaded seed must land exactly on the emitted
+            # end-of-frame seed (proves the kind/draw chain end to end)
+            end = emit[cnt - 1]
+            assert end[0] == 8 and int(np.uint32(seed_out)) == int(end[1])
+            jit_frames += 1
+        assert jit_frames >= 10, (jit_frames, skipped)
+    finally:
+        lib.iamf_band_emit_enable(0)
+        lib.iamf_leaf_tap_set(0)
+        os.environ.pop("IAMF_BAND_TAP", None)
