@@ -612,9 +612,12 @@ def main() -> None:
             result["d2h_probe_mbps"] = round(probe, 1)
             log(f"d2h probe: {probe:.1f} MB/s")
             if remaining() > 40:
-                e2e_s, _ = time_decodes(pcm_stream, sound_system,
-                                        2 if remaining() > 60 else 1,
-                                        True, 40)
+                # the tunnel's d2h rate swings minute-to-minute and IS the
+                # e2e number; extra repeats sample more windows
+                e2e_s, _ = time_decodes(
+                    pcm_stream, sound_system,
+                    3 if remaining() > 90 else
+                    (2 if remaining() > 60 else 1), True, 40)
                 result["value"] = round(audio_s / e2e_s, 2)
                 result["vs_baseline"] = result["value"]
                 result["wall_seconds"] = round(e2e_s, 3)
