@@ -44,19 +44,149 @@ def band_offsets():
 
 
 def packable(pf) -> bool:
-    """True when the frame fits the jitted spike's class."""
+    """True when the frame fits the jitted program's class (mono LM=3,
+    long-block AND transient: per-band transforms come from the config
+    matrix banks)."""
     if pf.C != 1 or pf.M != M or pf.norm_offset != 0:
         return False
     for b in pf.bands:
         if b.mode != 0 or b.avg:
             return False
-        r, td, _, B0, _ = b.cfg
-        if r or td or B0 != 1 or b.B != 1:
-            return False
     for lf in pf.leaves:
         if lf.k == -1 or lf.n > W:
             return False
     return True
+
+
+# Per-band transform-config banks: at LM=3 mono, a band's upward X
+# transform and its lowband pre-transform are linear maps determined by
+# (B_in, tf) — a handful of combos. Matrices are built by pushing unit
+# vectors through the exact numpy transforms (band_replay's
+# haar/hadamard), the same treatment device_leaf gives rotations.
+CFGS = []            # (B_in, tf) combos, index = cfg id
+for _b in (1, 8):
+    for _tf in (-3, -2, -1, 0, 1, 2, 3):
+        CFGS.append((_b, _tf))
+CFG_ID = {c: i for i, c in enumerate(CFGS)}
+
+
+@functools.lru_cache(maxsize=None)
+def _post_matrix(N: int, B_in: int, tf: int) -> np.ndarray:
+    """[N, N] matrix of quant_band's upward X transforms
+    (interleave_hadamard + time-divide haars + recombine haars)."""
+    from .band_replay import haar1, interleave_hadamard
+
+    recombine = tf if tf > 0 else 0
+    B = B_in >> recombine
+    nb = (N // B_in) << recombine
+    tfc = tf
+    td = 0
+    while (nb & 1) == 0 and tfc < 0:
+        B <<= 1
+        nb >>= 1
+        tfc += 1
+        td += 1
+    B0, N_B0 = B, nb
+    longBlocks = int(B_in == 1)
+    m = np.zeros((N, N), np.float32)
+    for j in range(N):
+        x = np.zeros(N, np.float32)
+        x[j] = 1.0
+        if B0 > 1:
+            interleave_hadamard(x, N_B0 >> recombine, B0 << recombine,
+                                longBlocks)
+        tdB, tdN = B0, N_B0
+        for _ in range(td):
+            tdB >>= 1
+            tdN <<= 1
+            haar1(x, tdN, tdB)
+        for kk in range(recombine):
+            haar1(x, N >> kk, 1 << kk)
+        m[:, j] = x
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _pre_matrix(N: int, B_in: int, tf: int) -> np.ndarray:
+    """[N, N] matrix of the lowband pre-transforms (haar chain +
+    deinterleave_hadamard)."""
+    from .band_replay import deinterleave_hadamard, haar1
+
+    recombine = tf if tf > 0 else 0
+    B = B_in >> recombine
+    nb = (N // B_in) << recombine
+    tfc = tf
+    td = 0
+    while (nb & 1) == 0 and tfc < 0:
+        B <<= 1
+        nb >>= 1
+        tfc += 1
+        td += 1
+    B0, N_B0 = B, nb
+    longBlocks = int(B_in == 1)
+    m = np.zeros((N, N), np.float32)
+    for j in range(N):
+        x = np.zeros(N, np.float32)
+        x[j] = 1.0
+        for kk in range(recombine):
+            haar1(x, N >> kk, 1 << kk)
+        tdB = B_in >> recombine
+        tdN = (N // B_in) << recombine
+        tfc2 = tf
+        while (tdN & 1) == 0 and tfc2 < 0:
+            haar1(x, tdN, tdB)
+            tdB <<= 1
+            tdN >>= 1
+            tfc2 += 1
+        if B0 > 1:
+            deinterleave_hadamard(x, N_B0 >> recombine, B0 << recombine,
+                                  longBlocks)
+        m[:, j] = x
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def cfg_banks():
+    """Per-band matrix banks [n_cfg, N, N] (post and pre) + cm-map bank
+    [n_cfg, 16] and final-B-mask bank [n_cfg] for every (B_in, tf)
+    combo at each of the 21 static band sizes."""
+    from .band_pack import _band_cm_cols
+
+    sizes = band_sizes()
+    post, pre, cmc, bmask = [], [], [], []
+    for i in range(NBANDS):
+        N = int(sizes[i])
+        po = np.zeros((len(CFGS), N, N), np.float32)
+        pr = np.zeros((len(CFGS), N, N), np.float32)
+        cc = np.zeros((len(CFGS), 16), np.uint32)
+        bm = np.zeros(len(CFGS), np.uint32)
+        for ci, (B_in, tf) in enumerate(CFGS):
+            if N % B_in:
+                po[ci] = np.eye(N, dtype=np.float32)
+                pr[ci] = np.eye(N, dtype=np.float32)
+                bm[ci] = 1
+                cc[ci] = 0
+                continue
+            po[ci] = _post_matrix(N, B_in, tf)
+            pr[ci] = _pre_matrix(N, B_in, tf)
+            recombine = tf if tf > 0 else 0
+            B = B_in >> recombine
+            nb = (N // B_in) << recombine
+            tfc = tf
+            td = 0
+            while (nb & 1) == 0 and tfc < 0:
+                B <<= 1
+                nb >>= 1
+                tfc += 1
+                td += 1
+            cc[ci] = _band_cm_cols(recombine, td, B)
+            B_fin = (B >> td) << recombine
+            bm[ci] = (1 << B_fin) - 1
+        post.append(po)
+        pre.append(pr)
+        cmc.append(cc)
+        bmask.append(bm)
+    return post, pre, cmc, bmask
 
 
 def pack_tensors(pf, leaf_vecs):
@@ -70,6 +200,8 @@ def pack_tensors(pf, leaf_vecs):
         "fs": np.zeros(NBANDS, np.int32),
         "fe": np.zeros(NBANDS, np.int32),
         "last": np.ones(NBANDS, np.int32),
+        "B_in": np.ones(NBANDS, np.int32),
+        "cfg_id": np.zeros(NBANDS, np.int32),
     }
     lt = {
         "n": np.zeros((NBANDS, SLOTS), np.int32),
@@ -90,6 +222,8 @@ def pack_tensors(pf, leaf_vecs):
         bt["fs"][b.i] = b.fs
         bt["fe"][b.i] = max(b.fe, b.fs + 1)
         bt["last"][b.i] = int(b.last)
+        bt["B_in"][b.i] = b.B
+        bt["cfg_id"][b.i] = CFG_ID[(b.B, max(min(b.tf, 3), -3))]
     for lf in pf.leaves:
         s = counts[lf.band]
         counts[lf.band] += 1
@@ -116,10 +250,20 @@ def _apply_cols16(cols, v):
     return out
 
 
+POST_BANK, PRE_BANK, CM_BANK, BM_BANK = None, None, None, None
+
+
+def _ensure_banks():
+    global POST_BANK, PRE_BANK, CM_BANK, BM_BANK
+    if POST_BANK is None:
+        POST_BANK, PRE_BANK, CM_BANK, BM_BANK = cfg_banks()
+
+
 @jax.jit
 def run_frame(bt, lt, seed0):
-    """Execute one packed long-block mono frame. Returns (spec [NBINS],
-    seed_out, collapse [NBANDS])."""
+    """Execute one packed mono frame (long-block OR transient). Returns
+    (spec [NBINS], seed_out, collapse [NBANDS])."""
+    _ensure_banks()
     ja, jb = lcg_jump_tables()
     ja = jnp.asarray(ja)
     jb = jnp.asarray(jb)
@@ -143,11 +287,15 @@ def run_frame(bt, lt, seed0):
         cm_or = masked[0]
         for jj in range(1, NBANDS):
             cm_or = cm_or | masked[jj]
-        entry = jnp.where(bt["has_lb"][i] > 0, cm_or,
-                          jnp.uint32((1 << 1) - 1))  # B==1 in this class
-        # fold source window (band-wide, transform-free in this class)
-        lb_full = jax.lax.dynamic_slice(
+        full = (jnp.uint32(1) << bt["B_in"][i].astype(jnp.uint32)) - 1
+        entry = jnp.where(bt["has_lb"][i] > 0, cm_or, full)
+        # fold source window, through the band's lowband pre-transform
+        # (haar chain + deinterleave) gathered from the config bank
+        lb_raw = jax.lax.dynamic_slice(
             jnp.pad(norm, (0, W)), (bt["eff"][i],), (W,))
+        pre_m = jnp.asarray(PRE_BANK[i])[bt["cfg_id"][i]]
+        lb_t = pre_m @ lb_raw[:N]
+        lb_full = jnp.zeros(W, jnp.float32).at[:N].set(lb_t)
 
         X = jnp.zeros(N, jnp.float32)
         cm_acc = jnp.uint32(0)
@@ -211,8 +359,12 @@ def run_frame(bt, lt, seed0):
         # advance the seed by the band's total draws
         tot = jnp.clip(prefix[-1] + draws_s[-1], 0, 4096)
         seed = seed * jnp.take(ja, tot) + jnp.take(jb, tot)
-        # B==1 class: no upward transforms; cm post-map is identity & 1
-        cmv = cm_acc & jnp.uint32(1)
+        # upward transforms + cm post-map from the config banks
+        post_m = jnp.asarray(POST_BANK[i])[bt["cfg_id"][i]]
+        X = post_m @ X
+        cmv = _apply_cols16(jnp.asarray(CM_BANK[i])[bt["cfg_id"][i]],
+                            cm_acc) & jnp.asarray(BM_BANK[i])[
+            bt["cfg_id"][i]]
         collapse = collapse.at[i].set(jnp.where(present, cmv,
                                                 collapse[i]))
         spec = jax.lax.dynamic_update_slice(

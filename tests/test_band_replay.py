@@ -381,16 +381,16 @@ def test_packed_replay_real_iamf_stream():
 
 
 @pytest.mark.skipif(not os.environ.get("IAMF_SLOW_TESTS"),
-                    reason="~9 min XLA compile of the 21x16 unrolled "
+                    reason="~6-9 min XLA compile of the 21x16 unrolled "
                            "program; run with IAMF_SLOW_TESTS=1 "
                            "(validated in round 5 — see TRACE.md)")
 def test_jit_band_walk_long_mono_frames():
-    """The jitted device band-walk (device_bands.run_frame) on the
-    long-block mono frame class: consumes ONLY the packed tensors and
-    must match the decoder's tap frame-exact (same bar as the replays),
-    with the device-threaded LCG seed landing exactly on the emitted
-    end-of-frame value. Transient frames in the same stream are skipped
-    by the packable() gate — they take the numpy executor path."""
+    """The jitted device band-walk (device_bands.run_frame) on mono
+    frames — long-block AND transient (per-band transforms gathered from
+    the config matrix banks): consumes ONLY the packed tensors and must
+    match the decoder's tap frame-exact (same bar as the replays), with
+    the device-threaded LCG seed landing exactly on the emitted
+    end-of-frame value."""
     from iamf_tpu.codecs.opus import band_pack, device_bands
 
     try:
@@ -429,7 +429,7 @@ def test_jit_band_walk_long_mono_frames():
             if not device_bands.packable(pf):
                 skipped += 1
                 continue
-            bt, lt = device_bands.pack_tensors(pf, vecs)
+            bt, lt = device_bands.pack_tensors(pf, vecs)  # incl transient
             spec, seed_out, _ = device_bands.run_frame(bt, lt, pf.seed0)
             spec = np.asarray(spec)[None, :]
             tap = tapp.contents
